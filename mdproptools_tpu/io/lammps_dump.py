@@ -1,0 +1,272 @@
+"""
+Streaming LAMMPS dump parser (replaces the reference's pymatgen
+dependency, ``requirements.txt:1`` / ``parse_lammps_dumps``).
+
+Design goals (SURVEY.md section 7, layer 1):
+- glob multi-file patterns and sort by the wildcard integer, exactly like
+  the reference's parser, so frame order matches;
+- parse the whole ATOMS body in one vectorized pass (C-engine CSV reader
+  or the optional native C++ parser in ``mdproptools_tpu.io._native``),
+  never a per-line Python loop;
+- emit fixed-shape ``(frames, atoms, columns)`` float64 arrays sorted by
+  atom id, ready for ``jax.device_put``.
+
+Dump schema seen in the bundled data (BASELINE.md):
+``id mol type mass q x y z xu yu zu ix iy iz vx vy vz fx fy fz``.
+"""
+
+import glob as _glob
+import io as _io
+import re
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass(frozen=True)
+class Box:
+    """Simulation box: bounds (3, 2) [lo, hi] per axis; periodicity flags."""
+
+    bounds: np.ndarray  # (3, 2) float64
+    periodic: Tuple[bool, bool, bool] = (True, True, True)
+    tilt: Optional[np.ndarray] = None  # (3,) xy xz yz for triclinic
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return self.bounds[:, 1] - self.bounds[:, 0]
+
+    @property
+    def volume(self) -> float:
+        return float(np.prod(self.lengths))
+
+    def to_lattice_lengths(self) -> np.ndarray:
+        """Orthogonal-box lattice lengths (the reference calls
+        ``dump.box.to_lattice().lengths``; for orthogonal boxes that is
+        simply hi - lo per axis)."""
+        return self.lengths
+
+
+@dataclass
+class Frame:
+    """One trajectory frame. ``data`` is an (N, C) float64 array whose
+    columns are named by ``columns``; rows are sorted by atom id when an
+    ``id`` column exists."""
+
+    timestep: int
+    natoms: int
+    box: Box
+    columns: List[str]
+    data: np.ndarray  # (N, C) float64
+
+    _index: dict = field(default_factory=dict, repr=False)
+
+    def __post_init__(self):
+        self._index = {c: i for i, c in enumerate(self.columns)}
+
+    def col(self, name: str) -> np.ndarray:
+        return self.data[:, self._index[name]]
+
+    def cols(self, names: Sequence[str]) -> np.ndarray:
+        idx = [self._index[n] for n in names]
+        return self.data[:, idx]
+
+    def has(self, name: str) -> bool:
+        return name in self._index
+
+    def to_dataframe(self) -> pd.DataFrame:
+        return pd.DataFrame(self.data, columns=self.columns)
+
+
+def _sort_files_by_wildcard(pattern: str, files: List[str]) -> List[str]:
+    """Sort globbed files by the integer captured at the wildcard position
+    (the reference sorts dump files by timestep embedded in the name)."""
+    if len(files) <= 1:
+        return files
+    regex = re.escape(pattern).replace(r"\*", r"([0-9]+)")
+    regex = ".*" + regex
+
+    def key(f):
+        m = re.match(regex, f)
+        return int(m.group(1)) if m else 0
+
+    return sorted(files, key=key)
+
+
+def _parse_body(text: str, ncols: int) -> np.ndarray:
+    """Parse the whitespace-separated ATOMS body into (N, ncols) float64."""
+    try:
+        from mdproptools_tpu.io import _native
+
+        arr = _native.parse_floats(text, ncols)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass
+    df = pd.read_csv(
+        _io.StringIO(text), sep=r"\s+", header=None, dtype=np.float64, engine="c"
+    )
+    return df.to_numpy()
+
+
+def parse_frames_from_text(text: str, sort_by_id: bool = True) -> Iterator[Frame]:
+    """Parse every frame in a dump file's text."""
+    pos = 0
+    n = len(text)
+    while True:
+        ts_at = text.find("ITEM: TIMESTEP", pos)
+        if ts_at == -1:
+            break
+        # timestep value on the next line
+        line_start = text.index("\n", ts_at) + 1
+        line_end = text.index("\n", line_start)
+        timestep = int(text[line_start:line_end].strip())
+
+        na_at = text.index("ITEM: NUMBER OF ATOMS", line_end)
+        line_start = text.index("\n", na_at) + 1
+        line_end = text.index("\n", line_start)
+        natoms = int(text[line_start:line_end].strip())
+
+        bb_at = text.index("ITEM: BOX BOUNDS", line_end)
+        bb_header_end = text.index("\n", bb_at)
+        bb_header = text[bb_at:bb_header_end]
+        flags = bb_header.replace("ITEM: BOX BOUNDS", "").split()
+        triclinic = any(f in ("xy", "xz", "yz") for f in flags)
+        periodic = tuple(f == "pp" for f in flags if f in ("pp", "ff", "sf", "fm", "p", "f"))
+        if len(periodic) != 3:
+            pp = [f for f in flags if f not in ("xy", "xz", "yz")]
+            periodic = tuple(x.startswith("p") for x in pp[:3]) or (True,) * 3
+        bounds = np.zeros((3, 2))
+        tilt = np.zeros(3) if triclinic else None
+        cursor = bb_header_end + 1
+        for ax in range(3):
+            line_end = text.index("\n", cursor)
+            parts = text[cursor:line_end].split()
+            bounds[ax, 0] = float(parts[0])
+            bounds[ax, 1] = float(parts[1])
+            if triclinic and len(parts) > 2:
+                tilt[ax] = float(parts[2])
+            cursor = line_end + 1
+
+        at_at = text.index("ITEM: ATOMS", cursor)
+        at_header_end = text.index("\n", at_at)
+        columns = text[at_at:at_header_end].replace("ITEM: ATOMS", "").split()
+        body_start = at_header_end + 1
+        next_item = text.find("ITEM: TIMESTEP", body_start)
+        body_end = next_item if next_item != -1 else n
+        body = text[body_start:body_end]
+        data = _parse_body(body, len(columns))
+        if data.shape[0] != natoms:
+            raise ValueError(
+                f"dump frame at timestep {timestep}: expected {natoms} atoms, "
+                f"parsed {data.shape[0]}"
+            )
+        if sort_by_id and "id" in columns:
+            order = np.argsort(data[:, columns.index("id")], kind="stable")
+            data = data[order]
+        yield Frame(timestep, natoms, Box(bounds, periodic, tilt), columns, data)
+        pos = body_end
+
+
+def parse_lammps_dumps(
+    pattern: str, sort_by_id: bool = True
+) -> Iterator[Frame]:
+    """Lazily yield frames from a dump file or a ``*`` glob pattern of
+    dump files (sorted by the wildcard integer), matching the reference's
+    iteration order."""
+    files = _sort_files_by_wildcard(pattern, _glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no dump files match {pattern!r}")
+    for f in files:
+        with open(f, "r") as fh:
+            text = fh.read()
+        yield from parse_frames_from_text(text, sort_by_id=sort_by_id)
+
+
+@dataclass
+class Trajectory:
+    """Fixed-shape trajectory: the device-feed format.
+
+    - ``timesteps``: (T,) int64
+    - ``box_bounds``: (T, 3, 2) float64
+    - ``columns``: column names of the last axis of ``data``
+    - ``data``: (T, N, C) float64, frames sorted by atom id
+    """
+
+    timesteps: np.ndarray
+    box_bounds: np.ndarray
+    columns: List[str]
+    data: np.ndarray
+    periodic: Tuple[bool, bool, bool] = (True, True, True)
+
+    _index: dict = field(default_factory=dict, repr=False)
+
+    def __post_init__(self):
+        self._index = {c: i for i, c in enumerate(self.columns)}
+
+    @property
+    def n_frames(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def n_atoms(self) -> int:
+        return self.data.shape[1]
+
+    def col(self, name: str) -> np.ndarray:
+        """(T, N) slice of one column."""
+        return self.data[:, :, self._index[name]]
+
+    def cols(self, names: Sequence[str]) -> np.ndarray:
+        """(T, N, len(names)) slice."""
+        idx = [self._index[n] for n in names]
+        return self.data[:, :, idx]
+
+    def has(self, name: str) -> bool:
+        return name in self._index
+
+    @property
+    def box_lengths(self) -> np.ndarray:
+        """(T, 3) box lengths."""
+        return self.box_bounds[:, :, 1] - self.box_bounds[:, :, 0]
+
+    def frame(self, t: int) -> Frame:
+        return Frame(
+            int(self.timesteps[t]),
+            self.n_atoms,
+            Box(self.box_bounds[t], self.periodic),
+            list(self.columns),
+            self.data[t],
+        )
+
+
+def read_trajectory(
+    pattern: str,
+    columns: Optional[Sequence[str]] = None,
+    sort_by_id: bool = True,
+    max_frames: Optional[int] = None,
+) -> Trajectory:
+    """Read a dump pattern into one fixed-shape Trajectory.
+
+    ``columns`` restricts which dump columns are kept (saves host RAM and
+    host->device bandwidth); atom count must be constant across frames.
+    """
+    frames: List[Frame] = []
+    for fr in parse_lammps_dumps(pattern, sort_by_id=sort_by_id):
+        frames.append(fr)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError(f"no frames parsed from {pattern!r}")
+    keep = list(columns) if columns is not None else list(frames[0].columns)
+    n_atoms = frames[0].natoms
+    data = np.empty((len(frames), n_atoms, len(keep)), np.float64)
+    timesteps = np.empty(len(frames), np.int64)
+    box_bounds = np.empty((len(frames), 3, 2), np.float64)
+    for t, fr in enumerate(frames):
+        if fr.natoms != n_atoms:
+            raise ValueError("atom count varies across frames; cannot stack")
+        data[t] = fr.cols(keep)
+        timesteps[t] = fr.timestep
+        box_bounds[t] = fr.box.bounds
+    return Trajectory(timesteps, box_bounds, keep, data, frames[0].box.periodic)

@@ -1,0 +1,71 @@
+"""
+Batched Wiener-Khinchin FFT correlators.
+
+Device-side replacement for the reference's three correlator variants,
+with identical math:
+
+- ``correlate(a, b)``: zero-pad to 2N cross-correlation with unbiased
+  triangle renormalization (``conductivity.py:98-114``):
+  ``out[k] = sum_t a[t+k] b[t] / (N - k)``.
+- ``autocorrelate(x)``: the same with a == b (``viscosity.py:110-115``,
+  'wkt'); equals ``statsmodels acovf(demean=False, unbiased=True,
+  fft=True)`` used at ``residence_time.py:134-137``.
+- brute-force variants kept as test oracles, mirroring the reference's
+  own oracle (``viscosity.py:103-108``).
+
+All functions broadcast over leading axes, so a whole (pairs x xyz x T)
+block of correlations runs as one batched FFT on device.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def correlate(a, b):
+    """Unbiased FFT cross-correlation over the last axis.
+
+    out[..., k] = sum_t a[..., t+k] * b[..., t] / (N - k),  k = 0..N-1
+    """
+    n = a.shape[-1]
+    fa = jnp.fft.fft(a, n=2 * n, axis=-1)
+    fb = jnp.fft.fft(b, n=2 * n, axis=-1)
+    c = jnp.fft.ifft(fa * jnp.conj(fb), axis=-1).real[..., :n]
+    norm = (n - jnp.arange(n)).astype(c.dtype)
+    return c / norm
+
+
+def autocorrelate(x):
+    """Unbiased FFT autocorrelation over the last axis (WKT)."""
+    n = x.shape[-1]
+    f = jnp.fft.fft(x, n=2 * n, axis=-1)
+    c = jnp.fft.ifft(f * jnp.conj(f), axis=-1).real[..., :n]
+    norm = (n - jnp.arange(n)).astype(c.dtype)
+    return c / norm
+
+
+def correlate_brute(a, b):
+    """O(N^2) oracle for ``correlate`` (numpy, float64)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    n = a.shape[-1]
+    out = np.zeros_like(a)
+    for k in range(n):
+        out[..., k] = np.sum(a[..., k:] * b[..., : n - k], axis=-1) / (n - k)
+    return out
+
+
+def autocorrelate_brute(x):
+    """O(N^2) oracle for ``autocorrelate`` (numpy, float64), matching the
+    reference's 'brute_force' method (np.correlate / descending counts)."""
+    x = np.asarray(x, np.float64)
+    full = np.correlate(x, x, "full")
+    half = full[full.size // 2 :]
+    return half / np.arange(len(x), 0, -1, dtype=np.float64)
+
+
+def cumtrapz(y, dx):
+    """Cumulative trapezoid over the last axis, N-1 points (the reference
+    integrates correlation functions with scipy ``cumulative_trapezoid``,
+    ``conductivity.py:231``, ``viscosity.py:151``)."""
+    avg = (y[..., 1:] + y[..., :-1]) * (dx / 2)
+    return jnp.cumsum(avg, axis=-1)

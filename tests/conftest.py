@@ -1,0 +1,36 @@
+"""
+Test configuration: force the CPU backend with 8 virtual devices (the
+multi-chip sharding tests run on a virtual mesh) and enable x64 so the
+'strict' precision path is bit-comparable to the float64 NumPy oracles.
+Must run before jax is imported anywhere.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force; the shell presets 'axon' (TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment pre-wires an 'axon' (TPU) platform that ignores
+# JAX_PLATFORMS; override via config so tests run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/data/mg_tfsi_dme"
+REFERENCE_TESTS = "/root/reference/tests"
+
+
+@pytest.fixture(scope="session")
+def mg_tfsi_dme_dir():
+    return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def dump_pattern():
+    return os.path.join(REFERENCE_DATA, "dump.nvt.*.dump")

@@ -1,0 +1,61 @@
+"""Dump parser validated against raw file text of the bundled dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mdproptools_tpu.io.lammps_dump import (
+    parse_lammps_dumps,
+    read_trajectory,
+)
+
+
+def test_single_frame_fields(mg_tfsi_dme_dir):
+    f = os.path.join(mg_tfsi_dme_dir, "dump.nvt.0.dump")
+    frames = list(parse_lammps_dumps(f))
+    assert len(frames) == 1
+    fr = frames[0]
+    assert fr.timestep == 0
+    assert fr.natoms == 10479
+    np.testing.assert_allclose(
+        fr.box.bounds[0], [4.0882558190751794e-01, 4.9591174418091420e01]
+    )
+    assert fr.columns[:5] == ["id", "mol", "type", "mass", "q"]
+    # rows sorted by id
+    ids = fr.col("id")
+    assert ids[0] == 1 and ids[-1] == 10479
+    assert np.all(np.diff(ids) == 1)
+    # spot-check one raw line: atom id 3429 from the file head
+    i = int(np.where(ids == 3429)[0][0])
+    assert fr.col("mol")[i] == 215
+    assert fr.col("type")[i] == 2
+    np.testing.assert_allclose(fr.col("mass")[i], 12.01)
+    np.testing.assert_allclose(
+        fr.cols(["x", "y", "z"])[i], [5.82479, 3.77447, 4.46724]
+    )
+    np.testing.assert_allclose(
+        fr.cols(["ix", "iy", "iz"])[i], [1, 0, 1]
+    )
+
+
+def test_glob_sorted_by_timestep(mg_tfsi_dme_dir):
+    pattern = os.path.join(mg_tfsi_dme_dir, "dump.nvt.*.dump")
+    gen = parse_lammps_dumps(pattern)
+    t0 = next(gen).timestep
+    t1 = next(gen).timestep
+    t2 = next(gen).timestep
+    assert (t0, t1, t2) == (0, 50000, 100000)
+
+
+def test_read_trajectory_stack(mg_tfsi_dme_dir):
+    pattern = os.path.join(mg_tfsi_dme_dir, "dump.nvt.*.dump")
+    traj = read_trajectory(pattern, columns=["id", "type", "x", "y", "z"],
+                           max_frames=3)
+    assert traj.data.shape == (3, 10479, 5)
+    assert traj.timesteps.tolist() == [0, 50000, 100000]
+    assert traj.box_lengths.shape == (3, 3)
+    np.testing.assert_allclose(traj.box_lengths[0, 0],
+                               4.9591174418091420e01 - 4.0882558190751794e-01)
+    # types constant across frames after id sort
+    assert np.array_equal(traj.col("type")[0], traj.col("type")[2])

@@ -1,0 +1,179 @@
+"""End-to-end RDF/CN parity on a real bundled frame: the public API in
+strict (float64) mode must reproduce the reference's math exactly, as
+re-derived by the NumPy oracle (upper-triangle loops + per-frame
+normalization). The bundled CSV goldens are unmaterialized git-LFS
+pointers, so the oracle is the parity target (see tests/oracle.py)."""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import oracle  # noqa: E402
+
+from mdproptools_tpu.common.system import System, altered_atom_types  # noqa: E402
+from mdproptools_tpu.io.lammps_dump import read_trajectory  # noqa: E402
+from mdproptools_tpu.structural import rdf_cn  # noqa: E402
+
+MASS = [16.0, 12.01, 1.008, 14.01, 32.06, 16.0, 12.01, 19.0, 24.305]
+NUM_MOLS = [591, 66, 33]
+NUM_ATOMS_PER_MOL = [16, 15, 1]
+NUM_TYPES = 9
+
+
+@pytest.fixture(scope="module")
+def frame0(mg_tfsi_dme_dir):
+    f = os.path.join(mg_tfsi_dme_dir, "dump.nvt.0.dump")
+    traj = read_trajectory(f, columns=["id", "type", "x", "y", "z"])
+    pos = traj.cols(["x", "y", "z"])[0]
+    types = traj.col("type")[0].astype(np.int64)
+    lengths = traj.box_lengths[0]
+    return f, pos, types, lengths
+
+
+def test_atomic_rdf_default_ids(frame0, tmp_path):
+    f, pos, types, lengths = frame0
+    r_cut, bin_size = 10.0, 0.1
+    relations = [[8, 9], [1, 8]]  # [[ref types], [other types]]
+    out = rdf_cn.calc_atomic_rdf(
+        r_cut, bin_size, NUM_TYPES, MASS, relations, f,
+        path_or_buff=str(tmp_path / "rdf.csv"), precision="strict",
+    )
+    rel_pairs = list(zip(relations[0], relations[1]))
+    full_c, part_c = oracle.rdf_loop(pos, types, lengths, r_cut, bin_size,
+                                     rel_pairs)
+    vol = float(np.prod(lengths))
+    n = pos.shape[0]
+    full_want = oracle.normalize_rdf_full(full_c, n, vol, bin_size)
+    np.testing.assert_allclose(out["g_full(r)"].to_numpy(), full_want,
+                               rtol=1e-12, atol=0)
+    counts = np.bincount(types - 1, minlength=NUM_TYPES)
+    for r, (a, b) in enumerate(rel_pairs):
+        want = oracle.normalize_rdf_part(
+            part_c[r], counts[a - 1], counts[b - 1], vol, bin_size
+        )
+        np.testing.assert_allclose(
+            out[f"g_{a}-{b}"].to_numpy(), want, rtol=1e-12, atol=0
+        )
+    radii = (np.arange(int(r_cut / bin_size)) + 0.5) * bin_size
+    np.testing.assert_allclose(out["r ($\\AA$)"].to_numpy(), radii)
+    assert (tmp_path / "rdf.csv").exists()
+
+
+def test_atomic_rdf_altered_ids(frame0, tmp_path):
+    f, pos, types, lengths = frame0
+    r_cut, bin_size = 8.0, 0.05
+    relations = [[32, 32], [17, 32]]
+    out = rdf_cn.calc_atomic_rdf(
+        r_cut, bin_size, NUM_TYPES, MASS, relations, f,
+        num_mols=NUM_MOLS, num_atoms_per_mol=NUM_ATOMS_PER_MOL,
+        path_or_buff=str(tmp_path / "rdf2.csv"), precision="strict",
+    )
+    ids = np.arange(1, pos.shape[0] + 1)
+    codes = altered_atom_types(ids, NUM_MOLS, NUM_ATOMS_PER_MOL)
+    rel_pairs = list(zip(relations[0], relations[1]))
+    full_c, part_c = oracle.rdf_loop(pos, codes, lengths, r_cut, bin_size,
+                                     rel_pairs)
+    vol = float(np.prod(lengths))
+    counts = np.bincount(codes - 1, minlength=32)
+    for r, (a, b) in enumerate(rel_pairs):
+        want = oracle.normalize_rdf_part(
+            part_c[r], counts[a - 1], counts[b - 1], vol, bin_size
+        )
+        np.testing.assert_allclose(
+            out[f"g_{a}-{b}"].to_numpy(), want, rtol=1e-12, atol=0
+        )
+
+
+def test_atomic_cn(frame0, tmp_path):
+    f, pos, types, lengths = frame0
+    relations = [[8, 9], [1, 8]]
+    r_cuts = [2.325, 4.375]
+    out = rdf_cn.calc_atomic_cn(
+        r_cuts, 0.05, NUM_TYPES, MASS, relations, f,
+        path_or_buff=str(tmp_path / "cn.csv"), precision="strict",
+    )
+    rel_pairs = list(zip(relations[0], relations[1]))
+    counts_w = oracle.cn_loop(pos, types, lengths, r_cuts, rel_pairs)
+    tc = np.bincount(types - 1, minlength=NUM_TYPES)
+    for r, (a, b) in enumerate(rel_pairs):
+        np.testing.assert_allclose(
+            out[f"cn_{a}-{b}"].iloc[0], counts_w[r] / tc[a - 1], rtol=1e-12
+        )
+
+
+def test_molecular_rdf_and_cn(frame0, tmp_path):
+    f, pos, types, lengths = frame0
+    system = System(NUM_MOLS, NUM_ATOMS_PER_MOL, mass=MASS)
+    masses = np.asarray(MASS)[types - 1]
+    mol_pos = oracle.com_per_molecule(pos, masses, system.mol_index,
+                                      system.n_molecules)
+    mol_codes = system.mol_type_of_molecule
+    relations = [[8, 8, 4], [1, 2, 3]]
+    rel_pairs = list(zip(relations[0], relations[1]))
+
+    r_cut, bin_size = 10.0, 0.1
+    out = rdf_cn.calc_molecular_rdf(
+        r_cut, bin_size, NUM_TYPES, MASS, relations, f,
+        num_mols=NUM_MOLS, num_atoms_per_mol=NUM_ATOMS_PER_MOL,
+        path_or_buff=str(tmp_path / "rdf_mol.csv"), precision="strict",
+    )
+    part_c = oracle.rdf_mol_loop(pos, types, mol_pos, mol_codes, lengths,
+                                 r_cut, bin_size, rel_pairs)
+    vol = float(np.prod(lengths))
+    at_counts = np.bincount(types - 1, minlength=NUM_TYPES)
+    mol_counts = np.bincount(mol_codes - 1, minlength=3)
+    for r, (a, b) in enumerate(rel_pairs):
+        want = oracle.normalize_rdf_part(
+            part_c[r], at_counts[a - 1], mol_counts[b - 1], vol, bin_size
+        )
+        np.testing.assert_allclose(
+            out[f"g_{a}-{b}"].to_numpy(), want, rtol=1e-10, atol=1e-14
+        )
+
+    r_cuts = [2.325, 3.775, 4.375]
+    out_cn = rdf_cn.calc_molecular_cn(
+        r_cuts, 0.05, NUM_TYPES, MASS, relations, f,
+        num_mols=NUM_MOLS, num_atoms_per_mol=NUM_ATOMS_PER_MOL,
+        path_or_buff=str(tmp_path / "cn_mol.csv"), precision="strict",
+    )
+    cn_w = oracle.cn_mol_loop(pos, types, mol_pos, mol_codes, lengths,
+                              r_cuts, rel_pairs)
+    for r, (a, b) in enumerate(rel_pairs):
+        np.testing.assert_allclose(
+            out_cn[f"cn_{a}-{b}"].iloc[0], cn_w[r] / at_counts[a - 1],
+            rtol=1e-10,
+        )
+
+
+def test_consistency_check_raises(frame0):
+    f, *_ = frame0
+    with pytest.raises(ValueError, match="Consistency check failed"):
+        rdf_cn.calc_atomic_rdf(5.0, 0.1, 4, MASS, [[8], [1]], f,
+                               precision="strict")
+
+
+def test_frame_averaging_multi_frame(mg_tfsi_dme_dir, tmp_path):
+    """Two-frame run must equal the mean of per-frame normalized RDFs."""
+    import shutil
+
+    f0 = os.path.join(mg_tfsi_dme_dir, "dump.nvt.0.dump")
+    f1 = os.path.join(mg_tfsi_dme_dir, "dump.nvt.50000.dump")
+    shutil.copy(f0, tmp_path / "dump.nvt.0.dump")
+    shutil.copy(f1, tmp_path / "dump.nvt.50000.dump")
+    out0 = rdf_cn.calc_atomic_rdf(6.0, 0.1, NUM_TYPES, MASS, [[8], [9]], f0,
+                                  save_mode=False, precision="strict")
+    out1 = rdf_cn.calc_atomic_rdf(6.0, 0.1, NUM_TYPES, MASS, [[8], [9]], f1,
+                                  save_mode=False, precision="strict")
+    both = rdf_cn.calc_atomic_rdf(
+        6.0, 0.1, NUM_TYPES, MASS, [[8], [9]],
+        str(tmp_path / "dump.nvt.*.dump"), save_mode=False, precision="strict",
+    )
+    np.testing.assert_allclose(
+        both["g_8-9"].to_numpy(),
+        (out0["g_8-9"].to_numpy() + out1["g_8-9"].to_numpy()) / 2,
+        rtol=1e-12,
+    )

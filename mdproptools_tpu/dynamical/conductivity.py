@@ -1,0 +1,294 @@
+"""
+Green-Kubo ionic conductivity from LAMMPS dumps (10.1063/1.4890741).
+
+API-compatible with the reference ``mdproptools/dynamical/conductivity.py``
+(class ``Conductivity``: ``correlate:98``, ``detect_time_range:117``,
+``get_charge_flux:167``, ``correlate_charge_flux:197``,
+``integrate_charge_flux_correlation:216``, ``fit_curve:234``,
+``green_kubo:259``, ``calc_cond:276``) with the same CSV/plot artifacts.
+
+TPU-native internals: the reference's multiprocessing.Pool over frames
+(``conductivity.py:190-191``) + per-frame pandas groupby
+(``_conductivity.py:27-31``) becomes ONE jitted device program — a
+segment-sum molecular COM velocity and per-type charge flux over the
+whole (T, N, 3) velocity block — and the per-type-pair correlation
+double loop (``conductivity.py:208-214``) becomes one batched FFT
+cross-correlation (Wiener-Khinchin, zero-pad 2N, unbiased triangle
+norm) on device.
+"""
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from scipy.integrate import cumulative_trapezoid
+
+from mdproptools_tpu.common import constants
+from mdproptools_tpu.common.system import System
+from mdproptools_tpu.io.lammps_dump import read_trajectory
+from mdproptools_tpu.ops import acf as acf_ops
+from mdproptools_tpu.ops import com as com_ops
+from mdproptools_tpu.ops.precision import resolve_dtype
+
+
+class Conductivity:
+    """Green-Kubo ionic conductivity: total and per-molecule-type."""
+
+    def __init__(
+        self,
+        filename,
+        num_mols,
+        num_atoms_per_mol,
+        volume,
+        mass=None,
+        temp=298.15,
+        timestep=1,
+        units="real",
+        working_dir=None,
+        precision="strict",
+    ):
+        self.working_dir = working_dir or os.getcwd()
+        self.filename = filename
+        self.mass = mass
+        self.num_mols = num_mols
+        self.num_atoms_per_mol = num_atoms_per_mol
+        self.units = units
+        self.volume = volume * constants.DISTANCE_CONVERSION[self.units] ** 3
+        self.temp = temp
+        self.timestep = timestep
+        self.precision = precision
+        self.time = []  # seconds, filled by get_charge_flux
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def correlate(a, b):
+        """Unbiased FFT cross-correlation (``conductivity.py:98-114``)."""
+        return np.asarray(acf_ops.correlate(jnp.asarray(a), jnp.asarray(b)))
+
+    @staticmethod
+    def detect_time_range(flux, tol):
+        """Plateau detector (``conductivity.py:117-165``): discretize,
+        per-group std, normalized against the std of stds, rolling-median
+        of the below-tol mask, longest run wins."""
+        flux = pd.Series(np.asarray(flux), name="flux")
+        time_step = max(int(len(flux) / 10000), 5)
+        ind = [i // time_step for i in range(len(flux))]
+        flux_std = flux.groupby(ind).transform("std")
+        std = flux_std.std()
+        div = std if std else 1
+        flux_std = flux_std / div
+        mask = (flux_std < tol).astype("int").to_frame()
+        mask = (
+            mask.rolling(
+                window=4 * time_step + 1,
+                min_periods=3 * time_step + 1,
+                center=True,
+            )
+            .median()
+            .fillna(0)["flux"]
+            .to_list()
+        )
+        runs = []
+        open_run = False
+        for k, v in enumerate(mask):
+            if v == 1 and not open_run:
+                runs.append((k,))
+                open_run = True
+            elif v < 1 and open_run:
+                runs[-1] = runs[-1] + (k,)
+                open_run = False
+        if runs and len(runs[-1]) == 1:
+            runs[-1] = runs[-1] + (len(mask) - 1,)
+        if not runs:
+            raise ValueError(
+                "detect_time_range: no near-zero plateau found; loosen tol"
+            )
+        best, best_len = None, 0
+        for r in runs:
+            if r[1] - r[0] > best_len:
+                best_len = r[1] - r[0]
+                best = r
+        return best
+
+    # ------------------------------------------------------------------
+    def get_charge_flux(self):
+        """Charge flux J_k(t) = sum_mols q_mol * v_com per molecule type
+        -> (3, n_mol_types, T). One device program replaces the process
+        pool (``conductivity.py:167-195``)."""
+        dtype = resolve_dtype(self.precision)
+        traj = read_trajectory(f"{self.working_dir}/{self.filename}")
+        system = System(self.num_mols, self.num_atoms_per_mol, mass=self.mass)
+        if self.mass is not None:
+            types = traj.col("type")[0].astype(np.int64)
+            masses = np.asarray(self.mass, np.float64)[types - 1]
+        elif traj.has("mass"):
+            masses = traj.col("mass")[0]
+        else:
+            raise AssertionError("Missing atom masses in dump file.")
+        if not traj.has("q"):
+            raise AssertionError("Missing atom charges in dump file.")
+        vel = traj.cols(["vx", "vy", "vz"])  # (T, N, 3)
+        q = traj.col("q")[0]
+        mol_index = jnp.asarray(system.mol_index)
+        type_index = jnp.asarray(system.mol_type_of_molecule - 1)
+        n_mols = system.n_molecules
+        n_types = system.n_mol_types
+
+        vconv = constants.VELOCITY_CONVERSION[self.units]
+        qconv = constants.CHARGE_CONVERSION[self.units]
+
+        @jax.jit
+        def flux_fn(vel_d, q_d, m_d):
+            vcom = com_ops.segment_com(vel_d, m_d, mol_index, n_mols)
+            vcom = vcom * vconv  # (T, M, 3), SI
+            qmol = jax.ops.segment_sum(q_d, mol_index,
+                                       num_segments=n_mols) * qconv
+            weighted = vcom * qmol[None, :, None]  # (T, M, 3)
+            flat = weighted.reshape(-1, 3)
+            seg = jnp.tile(type_index, vel_d.shape[0]) + (
+                jnp.repeat(jnp.arange(vel_d.shape[0]), n_mols) * n_types
+            )
+            j = jax.ops.segment_sum(flat, seg,
+                                    num_segments=vel_d.shape[0] * n_types)
+            return j.reshape(vel_d.shape[0], n_types, 3)
+
+        j = np.asarray(
+            flux_fn(jnp.asarray(vel, dtype), jnp.asarray(q, dtype),
+                    jnp.asarray(masses, dtype)),
+            np.float64,
+        )
+        self.time = list(
+            traj.timesteps.astype(np.float64)
+            * constants.TIME_CONVERSION[self.units]
+            * self.timestep
+        )
+        return np.transpose(j, (2, 1, 0))  # (3, n_types, T)
+
+    def correlate_charge_flux(self, flux):
+        """All type-pair cross-correlations, summed over xyz; row i =
+        sum_j corr(i, j); last row = grand total
+        (``conductivity.py:197-214``), as one batched device FFT."""
+        k = len(self.num_mols)
+        f = jnp.asarray(flux)  # (3, K, T)
+        a = f[:, :, None, :]  # (3, K, 1, T)
+        b = f[:, None, :, :]  # (3, 1, K, T)
+        corr = np.asarray(acf_ops.correlate(a, b))  # (3, K, K, T)
+        tot = np.zeros((k + 1, flux.shape[2]))
+        tot[:k] = corr.sum(axis=(0, 2))  # sum over xyz and j
+        tot[k] = corr.sum(axis=(0, 1, 2))
+        return tot
+
+    def integrate_charge_flux_correlation(self, tot_flux):
+        """Cumulative trapezoid of each correlation row
+        (``conductivity.py:216-232``)."""
+        integral = np.zeros((len(tot_flux), len(tot_flux[0])))
+        delta = self.time[1] - self.time[0]
+        for i in range(len(tot_flux)):
+            integral[i][1:] = cumulative_trapezoid(tot_flux[i], dx=delta)
+        return integral
+
+    def fit_curve(self, tot_flux, integral, tol):
+        """Average the integral over the detected near-zero window of the
+        correlation function (``conductivity.py:234-257``)."""
+        ave = np.zeros(len(integral))
+        time_range = np.zeros(len(integral), dtype=object)
+        for i in range(len(integral)):
+            s, e = self.detect_time_range(tot_flux[i], tol=tol)
+            ave[i] = np.average(integral[i][s:e])
+            time_range[i] = (self.time[s], self.time[e])
+        return ave, time_range
+
+    def green_kubo(self, ave):
+        """sigma = <int J.J dt> / (3 kB T V) (``conductivity.py:259-274``)."""
+        return ave / 3 / constants.BOLTZMANN / self.temp / self.volume
+
+    def calc_cond(self, tol=1e-4, plot=False, save=False):
+        """End-to-end Green-Kubo conductivity (``conductivity.py:276-397``).
+        Returns sigma per molecule type followed by the total (S/m)."""
+        j = self.get_charge_flux()
+        tot_flux = self.correlate_charge_flux(j)
+        integral = self.integrate_charge_flux_correlation(tot_flux)
+        ave, time_range = self.fit_curve(tot_flux, integral, tol)
+        cond = self.green_kubo(ave)
+
+        if plot:
+            self._plot(tot_flux, integral, time_range)
+        if save:
+            charge_flux = np.append(np.array([self.time]), tot_flux, axis=0)
+            integral_out = np.append(np.array([self.time]), integral, axis=0)
+            start_time = [i[0] for i in time_range]
+            end_time = [i[1] for i in time_range]
+            cond_out = np.asarray([start_time, end_time, cond])
+            mol_names = ",".join(
+                str(i + 1) for i in range(len(tot_flux) - 1)
+            ) + ",tot"
+            col_names = "t," + mol_names
+            np.savetxt(f"{self.working_dir}/charge_flux.csv", charge_flux.T,
+                       delimiter=",", header=col_names, comments="")
+            np.savetxt(f"{self.working_dir}/integral.csv", integral_out.T,
+                       delimiter=",", header=col_names, comments="")
+            np.savetxt(f"{self.working_dir}/conductivity.csv", cond_out.T,
+                       delimiter=",", header="start_t,end_t,cond",
+                       comments="")
+        return cond
+
+    def _plot(self, tot_flux, integral, time_range):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.ticker import ScalarFormatter
+
+        from mdproptools_tpu.utilities.plots import set_axis
+
+        time_data = np.array(self.time) * 1e9
+        paired = plt.get_cmap("Paired")
+        fig, ax = plt.subplots(1, 2, figsize=(20, 5), sharey=False)
+        colors = iter(paired(np.linspace(0, 1, 10)))
+        ax1, ax2 = ax
+        set_axis(ax1, axis="both")
+        for i in range(len(tot_flux) - 1):
+            ax1.plot(time_data, tot_flux[i], linewidth=2, color=next(colors))
+        ax1.plot(time_data, tot_flux[-1], linewidth=2, color="black")
+        ax1.set_ylabel(r"$\mathrm{\langle J(t)\cdot J(0)\rangle dt}$",
+                       fontsize=18)
+        colors = iter(paired(np.linspace(0, 1, 10)))
+        set_axis(ax2, axis="both")
+        for i in range(len(integral) - 1):
+            ax2.plot(time_data, integral[i], label=i + 1, linewidth=2,
+                     color=next(colors))
+        ax2.plot(time_data, integral[-1], label="total", linewidth=2,
+                 color="black")
+        ax2.legend(fontsize=16, loc="center left", bbox_to_anchor=(1, 0.5),
+                   frameon=False)
+        ax2.set_ylabel(
+            r"$\mathrm{\int_{0}^{\infty}\langle J(t)\cdot J(0)\rangle dt}$",
+            fontsize=18,
+        )
+        for axis in (ax1, ax2):
+            axis.axvline(time_range[-1][0] * 1e9, linewidth=2, color="black",
+                         linestyle="--")
+            axis.axvline(time_range[-1][1] * 1e9, linewidth=2, color="black",
+                         linestyle="--")
+            axis.set_xscale("log")
+            axis.set_xlabel(r"$\mathrm{Time, 10^9 (s)}$", fontsize=18)
+            fmt = ScalarFormatter(useOffset=False)
+            axis.yaxis.set_major_formatter(fmt)
+        fig.tight_layout(pad=3)
+        fig.savefig(f"{self.working_dir}/conductivity.png",
+                    bbox_inches="tight", pad_inches=0.1)
+        plt.close(fig)
+
+    def einstein(self):
+        raise NotImplementedError(
+            "Einstein-relation conductivity is not implemented (the "
+            "reference stubs it too, conductivity.py:399)"
+        )
+
+    def nernst(self):
+        raise NotImplementedError(
+            "Nernst-Einstein conductivity is not implemented (the "
+            "reference stubs it too, conductivity.py:402)"
+        )

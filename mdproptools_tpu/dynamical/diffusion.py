@@ -1,0 +1,398 @@
+"""
+Mean-square displacement and Einstein-relation diffusion coefficients.
+
+API-compatible with the reference ``mdproptools/dynamical/diffusion.py``
+(class ``Diffusion``: ``get_msd_from_dump:101``, ``get_msd_from_log:241``,
+``calc_diff:267``, ``get_diff_dist:410``) — same argument names, same
+output DataFrame layouts (including the reference's pivoted
+``dx21/dy21/.../msd1`` column convention for per-type COM MSD), same CSV
+and plot artifacts.
+
+Internals are array-first: the whole-trajectory pandas concat + groupby
+pipeline (``diffusion.py:207-238``) becomes fixed-shape (T, N, 3)
+displacement math with a segment-sum molecular COM on device.
+
+Reference quirks preserved (parity-verified by tests):
+- displacement reference is the frame at time 0 (``diffusion.py:213``);
+- msd_int: the t=0 all-NaN row sums to msd=0 and is *included* in the
+  per-particle time average, while per-axis means skip NaN
+  (``diffusion.py:229-237`` — its ``drop(0, level=0)`` result is
+  discarded);
+- OLS without intercept; D = slope / (2 * dimension)
+  (``diffusion.py:323-326``).
+"""
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from mdproptools_tpu.common import constants
+from mdproptools_tpu.common.system import System
+from mdproptools_tpu.io.lammps_dump import read_trajectory
+from mdproptools_tpu.ops import com as com_ops
+from mdproptools_tpu.ops.fits import ols_no_intercept
+from mdproptools_tpu.ops.precision import resolve_dtype
+from mdproptools_tpu.utilities.log import concat_log
+
+DISPS = ["dx2", "dy2", "dz2"]
+
+
+class Diffusion:
+    """Diffusion coefficients from MSD (Einstein relation), from LAMMPS
+    dumps or thermo logs."""
+
+    def __init__(self, timestep=1, units="real", outputs_dir=None,
+                 diff_dir=None):
+        self.units = units
+        if self.units not in constants.SUPPORTED_UNITS:
+            raise KeyError(
+                "Unit type not supported. Supported units are: "
+                + str(constants.SUPPORTED_UNITS)
+            )
+        self.outputs_dir = outputs_dir or os.getcwd()
+        self.diff_dir = diff_dir or os.getcwd()
+        self.timestep = timestep
+
+    # -- trajectory -> unwrapped coordinates ---------------------------------
+    @staticmethod
+    def _unwrapped_coords(traj):
+        """(T, N, 3) unwrapped coordinates: prefer xu/yu/zu, else
+        x + i * L (``diffusion.py:63-81``)."""
+        if all(traj.has(c) for c in ("xu", "yu", "zu")):
+            return traj.cols(["xu", "yu", "zu"])
+        missing_w = [c for c in ("x", "y", "z") if not traj.has(c)]
+        if missing_w:
+            raise AssertionError(
+                "Missing wrapped and unwrapped coordinates (x y z xu yu zu)"
+            )
+        if not all(traj.has(c) for c in ("ix", "iy", "iz")):
+            raise AssertionError(
+                "Missing unwrapped coordinates (xu yu zu) and box location "
+                "(ix iy iz) for converting wrapped coordinates (x y z) into "
+                "unwrapped coordinates."
+            )
+        pos = traj.cols(["x", "y", "z"])
+        img = traj.cols(["ix", "iy", "iz"])
+        return pos + img * traj.box_lengths[:, None, :]
+
+    def get_msd_from_dump(
+        self,
+        filename,
+        msd_type="com",
+        num_mols=None,
+        num_atoms_per_mol=None,
+        mass=None,
+        com_drift=False,
+        avg_interval=False,
+        tao_coeff=4,
+        precision="strict",
+    ):
+        """MSD vs time from dumps; see the reference docstring
+        (``diffusion.py:112-170``) for semantics. Returns (msd, msd_all)
+        or (msd, msd_all, msd_int) DataFrames with the reference layouts.
+        """
+        dtype = resolve_dtype(precision)
+        cols = ["id", "type", "x", "y", "z", "xu", "yu", "zu", "ix", "iy",
+                "iz", "mass", "q", "mol"]
+        traj = read_trajectory(
+            f"{self.outputs_dir}/{filename}",
+            columns=None,  # keep all; column set probed below
+        )
+        if not traj.has("id"):
+            raise AssertionError("Missing atom id's in dump file.")
+        xu = self._unwrapped_coords(traj)  # (T, N, 3) LAMMPS units
+        T, N = xu.shape[:2]
+        time_s = (
+            traj.timesteps.astype(np.float64)
+            * self.timestep
+            * constants.TIME_CONVERSION[self.units]
+        )
+        dist = constants.DISTANCE_CONVERSION[self.units]
+
+        if msd_type == "allatom":
+            coords = xu * dist  # SI
+            ids = traj.col("id")[0].astype(np.int64)
+            id_cols = {"id": ids}
+            group_keys = None  # 1-D average over all atoms
+        elif msd_type == "com":
+            system = System(num_mols, num_atoms_per_mol)
+            if mass is not None:
+                types = traj.col("type")[0].astype(np.int64)
+                masses = np.asarray(mass, np.float64)[types - 1]
+            elif traj.has("mass"):
+                masses = traj.col("mass")[0]
+            else:
+                raise AssertionError("Missing atom masses in dump file.")
+            com = com_ops.segment_com(
+                jnp.asarray(xu, dtype),
+                jnp.asarray(masses, dtype),
+                jnp.asarray(system.mol_index),
+                system.n_molecules,
+            )
+            coords = np.asarray(com, np.float64) * dist  # (T, M, 3) SI
+            mol_types = system.mol_type_of_molecule  # (M,) 1-based
+            mol_ids = np.concatenate(
+                [np.arange(1, n + 1) for n in system.num_mols]
+            )
+            # molecular mass in SI, used for drift weighting
+            mol_mass = np.zeros(system.n_molecules)
+            np.add.at(mol_mass, system.mol_index, masses)
+            mol_mass = mol_mass * constants.MASS_CONVERSION[self.units]
+            id_cols = {"type": mol_types, "mol_id": mol_ids}
+            group_keys = mol_types
+        else:
+            raise ValueError("msd_type must be 'allatom' or 'com'.")
+
+        if msd_type == "com" and com_drift:
+            # subtract per-type mass-weighted COM drift vs t=0
+            # (diffusion.py:91-96)
+            n_types = int(mol_types.max())
+            w = mol_mass
+            drift = np.zeros((T, n_types, 3))
+            for k in range(1, n_types + 1):
+                sel = mol_types == k
+                ws = w[sel] / w[sel].sum()
+                com_t = np.einsum("tmc,m->tc", coords[:, sel, :], ws)
+                drift[:, k - 1] = com_t - com_t[0]
+            coords = coords - drift[:, mol_types - 1, :]
+
+        disp2 = (coords - coords[0][None]) ** 2  # (T, M, 3)
+        msd_vals = disp2.sum(axis=2)  # (T, M)
+
+        # ---- msd_all: per-entity rows, reference row order --------------
+        if msd_type == "allatom":
+            order = np.argsort(ids, kind="stable")
+            rows = {
+                "Time (s)": np.repeat(time_s, N),
+                "id": np.tile(ids[order], T).astype(np.float64),
+            }
+            d_sorted = disp2[:, order, :]
+            m_sorted = msd_vals[:, order]
+        else:
+            # sort by (type, mol_id) — already in that order
+            rows = {
+                "Time (s)": np.repeat(time_s, coords.shape[1]),
+                "type": np.tile(mol_types, T).astype(np.int64),
+                "mol_id": np.tile(mol_ids, T).astype(np.int64),
+            }
+            d_sorted = disp2
+            m_sorted = msd_vals
+        for a, c in enumerate(DISPS):
+            rows[c] = d_sorted[:, :, a].reshape(-1)
+        rows["msd"] = m_sorted.reshape(-1)
+        msd_all = pd.DataFrame(rows)
+
+        # ---- msd: averaged over entities ---------------------------------
+        if msd_type == "allatom":
+            data = {"Time (s)": time_s}
+            for a, c in enumerate(DISPS):
+                data[c] = disp2[:, :, a].mean(axis=1)
+            data["msd"] = msd_vals.mean(axis=1)
+            msd = pd.DataFrame(data)
+        else:
+            # pivoted per-type columns: dx2{k} dy2{k} dz2{k} msd{k}
+            # sorted by type then column name (diffusion.py:220-222)
+            n_types = int(mol_types.max())
+            data = {}
+            for k in range(1, n_types + 1):
+                sel = mol_types == k
+                for a, c in enumerate(DISPS):
+                    data[f"{c}{k}"] = disp2[:, sel, a].mean(axis=1)
+                data[f"msd{k}"] = msd_vals[:, sel].mean(axis=1)
+            cols_sorted = [
+                f"{c}{k}"
+                for k in range(1, n_types + 1)
+                for c in sorted(DISPS + ["msd"])
+            ]
+            msd = pd.DataFrame({"Time (s)": time_s, **{c: data[c]
+                                                       for c in cols_sorted}})
+
+        if not avg_interval:
+            return msd, msd_all
+
+        # ---- msd_int: interval-averaged per-entity MSD -------------------
+        # sample every tao_coeff-th frame; diff vs previous sample
+        # (diffusion.py:225-238)
+        sample = np.arange(0, T, tao_coeff)
+        cs = coords[sample]  # (S, M, 3)
+        dd = np.empty_like(cs)
+        dd[0] = np.nan
+        dd[1:] = (cs[1:] - cs[:-1]) ** 2
+        # per-axis means skip the NaN first sample; the per-sample msd sums
+        # NaNs to 0 (pandas skipna) and that 0 IS included in the mean —
+        # faithful to diffusion.py:229-237
+        with np.errstate(invalid="ignore"):
+            axis_mean = np.nanmean(dd, axis=0)  # (M, 3)
+        per_sample_msd = np.nan_to_num(dd).sum(axis=2)  # (S, M), row 0 = 0
+        msd_mean = per_sample_msd.sum(axis=0) / len(sample)
+        data = {k: np.asarray(v, np.float64) for k, v in id_cols.items()}
+        for a, c in enumerate(DISPS):
+            data[c] = axis_mean[:, a]
+        data["msd"] = msd_mean
+        msd_int = pd.DataFrame(data)
+        return msd, msd_all, msd_int
+
+    def get_msd_from_log(self, log_pattern):
+        """MSD columns from LAMMPS thermo logs, converted to SI
+        (``diffusion.py:241-265``)."""
+        full_log = concat_log(log_pattern, step=None,
+                              working_dir=self.outputs_dir)
+        msd = full_log.filter(regex="msd").copy()
+        for col in msd:
+            msd[col] = msd[col] * constants.DISTANCE_CONVERSION[self.units] ** 2
+        msd["Time (s)"] = (
+            full_log["Step"] * self.timestep
+            * constants.TIME_CONVERSION[self.units]
+        )
+        return msd
+
+    def calc_diff(self, msd, initial_time=None, final_time=None, dimension=3,
+                  diff_names=None, save=False, plot=False):
+        """Einstein-relation D from OLS slope of MSD vs time
+        (``diffusion.py:267-408``). Writes diffusion.csv; optionally
+        diff_*.txt summaries and msd.png / msd_log.png."""
+        if initial_time is None:
+            initial_time = {}
+        if final_time is None:
+            final_time = {}
+        min_t = msd["Time (s)"].min()
+        max_t = msd["Time (s)"].max()
+        msd_col_names = [c for c in msd.columns if "msd" in c.lower()]
+        diff = np.zeros((len(msd_col_names), 3))
+        models = []
+        windows = []
+        for ind, col in enumerate(msd_col_names):
+            lo = initial_time.get(ind, min_t)
+            hi = final_time.get(ind, max_t)
+            win = msd[(msd["Time (s)"] >= lo) & (msd["Time (s)"] <= hi)]
+            windows.append(win)
+            model = ols_no_intercept(win["Time (s)"].to_numpy(),
+                                     win[col].to_numpy())
+            models.append(model)
+            diff[ind] = [
+                model.slope / (2 * dimension),
+                model.bse / (2 * dimension),
+                model.rsquared,
+            ]
+            if save:
+                name = diff_names[ind] if diff_names else ind + 1
+                with open(f"{self.diff_dir}/diff_{name}.txt", "w") as f:
+                    f.write(model.summary())
+        index = diff_names or [i + 1 for i in range(len(msd_col_names))]
+        diffusion = pd.DataFrame(
+            diff, columns=["diffusion (m2/s)", "std", "R2"], index=index
+        )
+        if plot:
+            self._plot_msd(msd, msd_col_names, models, windows, index)
+        diffusion.to_csv(f"{self.diff_dir}/diffusion.csv")
+        return diffusion
+
+    def _plot_msd(self, msd, msd_col_names, models, windows, labels):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.ticker import ScalarFormatter
+
+        from mdproptools_tpu.utilities.plots import set_axis
+
+        paired = plt.get_cmap("Paired")
+        colors = iter(paired(np.linspace(0, 1, 10)))
+        ncols = 2
+        nrows = int(np.ceil(len(msd_col_names) / ncols))
+        fig, axes = plt.subplots(nrows, ncols, figsize=(12, 8), squeeze=False)
+        fig_log, axes_log = plt.subplots(nrows, ncols, figsize=(12, 8),
+                                         squeeze=False)
+        time_data = msd["Time (s)"] * 1e9
+        for i, (ax, ax_log, col) in enumerate(
+            zip(axes.flatten(), axes_log.flatten(), msd_col_names)
+        ):
+            color = next(colors)
+            pred = models[i].predict(windows[i]["Time (s)"].to_numpy())
+            ax.plot(time_data, msd[col], color=color, linewidth=2,
+                    label=str(labels[i]))
+            ax.plot(windows[i]["Time (s)"] * 1e9, pred, color="k", ls="--",
+                    linewidth=2)
+            with np.errstate(divide="ignore"):
+                st_line = 10 ** (np.log10(msd[col].max())
+                                 - np.log10(time_data.max()))
+            ax_log.plot(time_data, msd[col], color=color, linewidth=2,
+                        label=str(labels[i]))
+            ax_log.plot(time_data, time_data * st_line, color="k", ls="--",
+                        linewidth=2)
+            ax_log.set(xscale="log", yscale="log")
+            for axis in (ax, ax_log):
+                set_axis(axis, axis="both")
+                axis.legend(fontsize=16, frameon=False)
+                axis.set_xlabel(r"$\mathrm{Time, 10^9 (s)}$", fontsize=18)
+                axis.set_ylabel(r"$\mathrm{MSD\ (m^2)}$", fontsize=18)
+                fmt = ScalarFormatter(useOffset=False)
+                axis.yaxis.set_major_formatter(fmt)
+        for figure, axis, name in zip(
+            [fig, fig_log], [axes, axes_log], ["msd.png", "msd_log.png"]
+        ):
+            if len(msd_col_names) % 2 != 0:
+                figure.delaxes(ax=axis.flatten()[-1])
+            figure.tight_layout()
+            figure.savefig(f"{self.diff_dir}/{name}", bbox_inches="tight",
+                           pad_inches=0.1)
+        plt.close(fig)
+        plt.close(fig_log)
+
+    def get_diff_dist(self, msd_int, dump_freq, dimension=3, tao_coeff=4,
+                      plot=False, diff_names=None):
+        """Per-particle diffusivity distribution from msd_int
+        (``diffusion.py:410-516``); D = msd / (2 * dim * tao * delta)."""
+        delta = (dump_freq * self.timestep
+                 * constants.TIME_CONVERSION[self.units])
+        msd_int = msd_int.copy()
+        msd_int["diff"] = msd_int["msd"] / (2 * dimension * tao_coeff * delta)
+        if plot:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import seaborn as sns
+            from matplotlib.ticker import ScalarFormatter
+
+            from mdproptools_tpu.utilities.plots import set_axis
+
+            paired = plt.get_cmap("Paired")
+            colors = iter(paired(np.linspace(0, 1, 10)))
+            if "type" in msd_int.columns:
+                groups = msd_int.groupby("type")
+                labels = diff_names or [i + 1 for i in range(len(groups))]
+                ncols = 2
+                nrows = int(np.ceil(groups.ngroups / ncols))
+                fig, axes = plt.subplots(nrows, ncols, figsize=(12, 8),
+                                         squeeze=False)
+                for ax, (key, grp) in zip(axes.flatten(), groups):
+                    color = next(colors)
+                    set_axis(ax, axis="both")
+                    sns.histplot(grp["diff"] * 1e9, bins="sqrt", color=color,
+                                 edgecolor="k", label=str(labels[int(key) - 1]),
+                                 kde=True, stat="density", ax=ax)
+                    ax.legend(fontsize=16, frameon=False)
+                    ax.set_xlabel(
+                        r"$\mathrm{Diffusivity, 10^{-9}\ (m^2/s)}$",
+                        fontsize=18,
+                    )
+                    ax.set_ylabel("Frequency", fontsize=18)
+                    ax.xaxis.set_major_formatter(ScalarFormatter())
+                if groups.ngroups % 2 != 0:
+                    fig.delaxes(ax=axes.flatten()[-1])
+            else:
+                fig, ax = plt.subplots(figsize=(8, 6))
+                set_axis(ax, axis="both")
+                sns.histplot(msd_int["diff"] * 1e9, bins="sqrt",
+                             color=next(colors), edgecolor="k", kde=True,
+                             stat="density", ax=ax)
+                ax.set_xlabel(r"$\mathrm{Diffusivity, 10^{-9}\ (m^2/s)}$",
+                              fontsize=18)
+                ax.set_ylabel("Frequency", fontsize=18)
+            fig.tight_layout()
+            fig.savefig(f"{self.diff_dir}/diff_dist.png", bbox_inches="tight",
+                        pad_inches=0.1)
+            plt.close(fig)
+        return msd_int

@@ -1,0 +1,235 @@
+"""
+Residence time from neighbor-shell survival autocorrelation.
+
+API-compatible with the reference
+``mdproptools/dynamical/residence_time.py`` (class ``ResidenceTime``:
+``calc_auto_correlation:70``, ``fit_auto_correlation:150``): boolean
+h-matrix (pair inside the radial shell [r_in, r_out]) per frame, per-pair
+ACF (unbiased, non-demeaned — statsmodels ``acovf`` semantics,
+``residence_time.py:134-137``), normalized C(t), stretched-exponential
+fit, residence time = a tau_res Gamma(1 + 1/beta) + (1-a) tau_short.
+
+TPU-native internals: the h-matrices for all frames are built by a
+vmapped minimum-image shell kernel; ALL pair columns autocorrelate in a
+single batched FFT instead of a Python loop per column
+(``residence_time.py:121-139``).
+
+``Displacement`` in the reference is dead code (its ``calc_dist`` raises
+TypeError at ``residence_time.py:239``); here it is implemented to do
+what its structure intends: per-atom-type displacement distributions over
+a time window close to each type's residence time. Divergence documented.
+"""
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from scipy.optimize import curve_fit
+from scipy.special import gamma
+
+from mdproptools_tpu.common.system import altered_atom_types
+from mdproptools_tpu.io.lammps_dump import read_trajectory
+from mdproptools_tpu.ops import acf as acf_ops
+from mdproptools_tpu.ops import pairs as pair_ops
+from mdproptools_tpu.ops.precision import resolve_dtype
+
+
+class ResidenceTime:
+    def __init__(
+        self,
+        r_cut,
+        partial_relations,
+        filename,
+        dt=1,
+        num_mols=None,
+        num_atoms_per_mol=None,
+        working_dir=None,
+        precision="strict",
+    ):
+        """``r_cut``: list of (r_in, r_out) shell bounds per relation;
+        ``partial_relations``: [[ref types], [other types]] as in the
+        reference (``residence_time.py:41-60``)."""
+        self.r_cut = r_cut
+        self.relation_matrix = np.asarray(partial_relations).T
+        self.atom_pairs: List[str] = []
+        self.filename = filename
+        self.dt = dt * 10**-3  # fs -> ps
+        self.corr_df: Optional[pd.DataFrame] = None
+        self.res_time_df: Optional[pd.DataFrame] = None
+        self.num_mols = num_mols
+        self.num_atoms_per_mol = num_atoms_per_mol
+        self.working_dir = working_dir or os.getcwd()
+        self.precision = precision
+
+    @staticmethod
+    def _stretched_exp_function(x, a, tau_res, tau_short, beta):
+        return a * np.exp(-((x / tau_res) ** beta)) + (1 - a) * np.exp(
+            -x / tau_short
+        )
+
+    @staticmethod
+    def _integrate_sum_exp(a, tau_res, tau_short, beta):
+        return (a * tau_res * gamma(1 + 1 / beta)) + (1 - a) * tau_short
+
+    def calc_auto_correlation(self):
+        """C(t) per relation: h-matrices on device, batched FFT ACF,
+        normalized by C(0) (``residence_time.py:70-148``). Saves
+        auto_correlation.csv and returns the DataFrame."""
+        dtype = resolve_dtype(self.precision)
+        traj = read_trajectory(self.filename,
+                               columns=["id", "type", "x", "y", "z"])
+        T = traj.n_frames
+        types = traj.col("type")[0].astype(np.int64)
+        if self.num_mols and self.num_atoms_per_mol:
+            ids = traj.col("id")[0].astype(np.int64)
+            codes = altered_atom_types(ids, self.num_mols,
+                                       self.num_atoms_per_mol)
+        else:
+            codes = types
+        pos = traj.cols(["x", "y", "z"])  # (T, N, 3)
+        lengths = traj.box_lengths
+
+        correlation = {
+            "Time (ps)": traj.timesteps.astype(np.float64) * self.dt
+        }
+        for kl in range(len(self.relation_matrix)):
+            k, l = (int(v) for v in self.relation_matrix[kl])
+            atom_pair = f"{k}-{l}"
+            self.atom_pairs.append(atom_pair)
+            sel_k = np.nonzero(codes == k)[0]
+            sel_l = np.nonzero(codes == l)[0]
+            if sel_k.size == 0 or sel_l.size == 0:
+                raise ValueError(
+                    f"relation {atom_pair}: no atoms of type {k if not sel_k.size else l}"
+                )
+            r_in, r_out = self.r_cut[kl]
+
+            @jax.jit
+            def h_fn(pos_d, len_d, ik=jnp.asarray(sel_k),
+                     il=jnp.asarray(sel_l), r_in=float(r_in),
+                     r_out=float(r_out)):
+                def per_frame(p, L):
+                    pk = p[ik]
+                    plr = p[il]
+                    return pair_ops.shell_mask(pk, plr, L, r_in, r_out)
+
+                return jax.vmap(per_frame)(pos_d, len_d)
+
+            h = h_fn(jnp.asarray(pos, dtype), jnp.asarray(lengths, dtype))
+            h = h.astype(dtype)  # (T, Na, Nb)
+            if k == l:
+                # mask self pairs: same position index within the type
+                eye = np.equal.outer(sel_k, sel_l)
+                h = h * jnp.asarray(~eye, dtype)[None]
+            # batched ACF over all (central atom, partner) columns
+            cols = h.reshape(T, -1).T  # (Na*Nb, T)
+            cov = np.asarray(acf_ops.autocorrelate(cols), np.float64)
+            corr_array = cov.sum(axis=0) / cols.shape[0]
+            corr_array = corr_array / corr_array[0]
+            correlation[atom_pair] = corr_array
+
+        self.corr_df = pd.DataFrame.from_dict(correlation)
+        self.corr_df.to_csv(self.working_dir + "/auto_correlation.csv")
+        return self.corr_df
+
+    def fit_auto_correlation(self, cut_percent=0.9, plot=True):
+        """Stretched-exponential fit of C(t) -> residence times
+        (``residence_time.py:150-208``). Saves residence_time.csv."""
+        residence_time: Dict[str, list] = {}
+        corr_data = self.corr_df.head(int(len(self.corr_df) * cut_percent))
+        for col in corr_data:
+            if col == "Time (ps)":
+                continue
+            x = corr_data["Time (ps)"].values
+            y = corr_data[col].values
+            popt, _ = curve_fit(
+                self._stretched_exp_function,
+                x,
+                y,
+                bounds=([0, 0, 0, 0.1], [np.inf, np.inf, np.inf, 1]),
+                maxfev=5000,
+            )
+            a, tau_res, tau_short, beta = popt
+            residence_time[col] = [
+                a, tau_res, tau_short, beta,
+                self._integrate_sum_exp(a, tau_res, tau_short, beta),
+            ]
+            if plot:
+                self._plot_fit(corr_data, col, popt)
+        self.res_time_df = pd.DataFrame(residence_time)
+        self.res_time_df.index = ["a", "tau_res", "tau_short", "beta",
+                                  "r (ps)"]
+        self.res_time_df.to_csv(self.working_dir + "/residence_time.csv")
+        return residence_time
+
+    def _plot_fit(self, corr_data, col, popt):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from mdproptools_tpu.utilities.plots import set_axis
+
+        fig, ax = plt.subplots(figsize=(8, 6))
+        set_axis(ax)
+        ax.scatter(corr_data["Time (ps)"], corr_data[col], color="red",
+                   label="original")
+        fit_data = self._stretched_exp_function(
+            corr_data["Time (ps)"].values, *popt
+        )
+        ax.plot(corr_data["Time (ps)"], fit_data, color="black", label="fit")
+        ax.legend(frameon=False, fontsize=20)
+        ax.set_xlabel("Time (ps)", fontsize=20)
+        ax.set_ylabel("C(t)", fontsize=20)
+        fig.savefig(self.working_dir + f"/{col}_fit.png",
+                    bbox_inches="tight", pad_inches=0.1)
+        plt.close(fig)
+
+
+class Displacement:
+    """Displacement magnitudes of selected atom types over a window of
+    frames matching each type's residence time.
+
+    The reference's ``Displacement.calc_dist`` (``residence_time.py:228-254``)
+    is unfinished and raises TypeError; this implementation realizes its
+    documented intent: for each atom type, the distribution of
+    displacement magnitudes between frames separated by (approximately)
+    the residence time.
+    """
+
+    def __init__(self, atom_types, residence_time, filename, dt=1,
+                 save_mode=True, working_dir=None):
+        self.atom_types = atom_types
+        self.residence_time = residence_time  # {atom_type: ps}
+        self.filename = filename
+        self.dt = dt * 10**-3  # fs -> ps
+        self.save_mode = save_mode
+        self.working_dir = working_dir or os.getcwd()
+
+    def calc_dist(self):
+        traj = read_trajectory(self.filename,
+                               columns=["id", "type", "x", "y", "z"])
+        types = traj.col("type")[0].astype(np.int64)
+        times_ps = traj.timesteps.astype(np.float64) * self.dt
+        frame_dt = times_ps[1] - times_ps[0] if len(times_ps) > 1 else self.dt
+        pos = traj.cols(["x", "y", "z"])
+        out = {}
+        for atom_type in self.atom_types:
+            tau = self.residence_time[atom_type]
+            lag = max(1, int(round(tau / frame_dt)))
+            lag = min(lag, traj.n_frames - 1)
+            sel = types == atom_type
+            d = pos[lag:, sel, :] - pos[:-lag, sel, :]
+            out[atom_type] = pd.DataFrame({
+                "displacement": np.linalg.norm(d, axis=2).reshape(-1),
+                "lag (ps)": lag * frame_dt,
+            })
+            if self.save_mode:
+                out[atom_type].to_csv(
+                    os.path.join(self.working_dir,
+                                 f"displacement_{atom_type}.csv"),
+                    index=False,
+                )
+        return out

@@ -1,0 +1,118 @@
+"""Cluster extraction byte-parity against the reference's materialized
+golden XYZ files — the strongest parity evidence in this checkout.
+Mirrors the reference's own test parameters exactly
+(tests/structural/test_cluster_analysis.py: r_cut=2.3, frame=50,
+atom_type 9 / altered 32, type_coord_atoms=[O,N,Mg], cum_perc=100)."""
+
+import filecmp
+import glob
+import os
+
+import pytest
+
+from mdproptools_tpu.io.molecule import Molecule
+from mdproptools_tpu.structural.cluster_analysis import (
+    get_clusters,
+    get_unique_configurations,
+)
+
+GOLDEN_DIR = "/root/reference/tests/structural/test_files"
+ELEMENTS = ["O", "C", "H", "N", "S", "O", "C", "F", "Mg"]
+R_CUT = 2.3
+
+
+def _compare_xyz(workdir, pattern):
+    mine = sorted(glob.glob(f"{workdir}/{pattern}"))
+    golden = sorted(glob.glob(f"{GOLDEN_DIR}/{pattern}"))
+    assert len(mine) == len(golden) != 0, (
+        f"XYZ count mismatch for {pattern}: {len(mine)} vs {len(golden)}"
+    )
+    for m, g in zip(mine, golden):
+        assert filecmp.cmp(m, g, shallow=False), (
+            f"byte mismatch vs reference golden: {os.path.basename(g)}"
+        )
+
+
+def test_get_clusters_byte_identical(dump_pattern, tmp_path):
+    n = get_clusters(
+        filename=dump_pattern,
+        atom_type=9,
+        r_cut=R_CUT,
+        num_mols=[591, 66, 33],
+        num_atoms_per_mol=[16, 15, 1],
+        full_trajectory=False,
+        frame=50,
+        elements=ELEMENTS,
+        alter_atom_types=False,
+        max_force=0.75,
+        working_dir=str(tmp_path),
+    )
+    assert n == 33
+    _compare_xyz(tmp_path, "Cluster_*.xyz")
+
+
+def test_unique_configurations_matches_reference_test(dump_pattern,
+                                                      mg_tfsi_dme_dir,
+                                                      tmp_path):
+    get_clusters(
+        filename=dump_pattern,
+        atom_type=32,
+        r_cut=R_CUT,
+        num_mols=[591, 66, 33],
+        num_atoms_per_mol=[16, 15, 1],
+        full_trajectory=False,
+        frame=50,
+        elements=ELEMENTS,
+        alter_atom_types=True,
+        max_force=0.75,
+        working_dir=str(tmp_path),
+    )
+    dme = Molecule.from_file(os.path.join(mg_tfsi_dme_dir, "dme.pdb"))
+    tfsi = Molecule.from_file(os.path.join(mg_tfsi_dme_dir, "tfsi.pdb"))
+    mg = Molecule.from_file(os.path.join(mg_tfsi_dme_dir, "mg.pdb"))
+    assert len(dme) == 16 and len(tfsi) == 15 and len(mg) == 1
+    clusters, configs = get_unique_configurations(
+        cluster_pattern="Cluster_*.xyz",
+        r_cut=R_CUT,
+        molecules=[dme, tfsi, mg],
+        mol_num=2,
+        type_coord_atoms=["O", "N", "Mg"],
+        working_dir=str(tmp_path),
+        find_top=True,
+        perc=None,
+        cum_perc=100,
+        mol_names=["dme", "tfsi", "mg"],
+        zip=False,
+    )
+    # the reference's own test expectation: 5 top configurations
+    import pandas as pd
+
+    top = pd.read_csv(tmp_path / "top_conf.csv")
+    assert len(top) == 5
+    _compare_xyz(tmp_path, "conf_*.xyz")
+    assert len(clusters) == 33
+    assert configs["count"].sum() == 33
+    assert list(clusters.columns) == [
+        "cluster", "num_dme", "num_tfsi", "num_mg", "atoms_dme",
+        "atoms_tfsi", "atoms_mg",
+    ]
+
+
+def test_zip_archival(dump_pattern, mg_tfsi_dme_dir, tmp_path):
+    get_clusters(
+        filename=dump_pattern, atom_type=9, r_cut=R_CUT,
+        num_mols=[591, 66, 33], num_atoms_per_mol=[16, 15, 1],
+        frame=50, elements=ELEMENTS, working_dir=str(tmp_path),
+    )
+    dme = Molecule.from_file(os.path.join(mg_tfsi_dme_dir, "dme.pdb"))
+    tfsi = Molecule.from_file(os.path.join(mg_tfsi_dme_dir, "tfsi.pdb"))
+    mg = Molecule.from_file(os.path.join(mg_tfsi_dme_dir, "mg.pdb"))
+    get_unique_configurations(
+        cluster_pattern="Cluster_*.xyz", r_cut=R_CUT,
+        molecules=[dme, tfsi, mg], mol_num=2, working_dir=str(tmp_path),
+        find_top=False, zip=True,
+    )
+    assert os.path.exists(f"{tmp_path}/Clusters.zip")
+    assert not glob.glob(f"{tmp_path}/Cluster_*.xyz")
+    assert os.path.exists(f"{tmp_path}/clusters.csv")
+    assert os.path.exists(f"{tmp_path}/configurations.csv")

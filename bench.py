@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""
+Driver benchmark: full+partial atomic RDF (400 bins, 4 partial relations)
+over the bundled 101-frame x 10,479-atom Mg(TFSI)2/DME trajectory on the
+real TPU (fast/f32 path, on-device frame scan), versus the
+reference-equivalent single-core float64 NumPy pair loop measured on this
+machine (the reference itself cannot run here: pymatgen/numba absent).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": frames/sec on TPU, "unit": "frames/sec",
+   "vs_baseline": speedup vs reference-equivalent oracle}
+
+Timing methodology: the axon backend's block_until_ready does not block,
+so every timed region ends with an actual host fetch.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax  # noqa: E402
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp  # noqa: E402
+
+    from mdproptools_tpu.io.lammps_dump import read_trajectory  # noqa: E402
+    from mdproptools_tpu.structural import rdf_cn  # noqa: E402
+
+    data = "/root/reference/data/mg_tfsi_dme/dump.nvt.*.dump"
+    r_cut, bin_size, n_bins = 20.0, 0.05, 400
+    relations = np.array([[8, 1], [8, 4], [8, 6], [8, 8]])
+
+    traj = read_trajectory(data, columns=["id", "type", "x", "y", "z"])
+    codes = traj.col("type")[0].astype(np.int64)
+    pos = traj.cols(["x", "y", "z"])
+    lengths = traj.box_lengths
+    counts = np.bincount(codes - 1, minlength=9).astype(np.float64)
+    T = pos.shape[0]
+
+    def run():
+        return rdf_cn._rdf_mean(
+            pos, codes, 9, lengths, bin_size, n_bins, r_cut, relations,
+            counts, counts, exclude_self=True, with_full=True,
+            dtype=jnp.float32,
+        )
+
+    run()  # warm: compile (persistent-cached across rounds) + first pass
+    t0 = time.time()
+    g_full, g_part = run()  # _rdf_mean ends with host fetches per block
+    tpu_time = time.time() - t0
+    tpu_fps = T / tpu_time
+    assert np.isfinite(g_full).all() and abs(g_full[-1] - 1.0) < 0.05, (
+        "RDF sanity failed: g(r->r_cut) != 1"
+    )
+
+    # reference-equivalent baseline: single-core float64 NumPy pair loop
+    # (blocked exactly like tests/oracle.py), one frame, extrapolated
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import oracle  # noqa: E402
+
+    t0 = time.time()
+    oracle.rdf_loop(pos[0], codes, lengths[0], r_cut, bin_size,
+                    [tuple(r) for r in relations])
+    base_time_per_frame = time.time() - t0
+    base_fps = 1.0 / base_time_per_frame
+
+    print(json.dumps({
+        "metric": ("RDF frames/sec, 10479 atoms x 101 frames, 400 bins + 4 "
+                   "partials, TPU f32 vs single-core f64 NumPy pair loop"),
+        "value": round(tpu_fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(tpu_fps / base_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

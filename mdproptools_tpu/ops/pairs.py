@@ -138,6 +138,37 @@ def pair_hist(
     Returns:
       (n_codes_r, n_codes_c, n_bins) histogram, dtype float32/float64.
     """
+    nr_chunks = layout_r.n_padded // LANE
+    pos_r = pos_r.astype(dtype).reshape(nr_chunks, LANE, 3)
+    idx_r = jnp.asarray(layout_r.perm).reshape(nr_chunks, LANE)
+    chunk_codes = jnp.asarray(layout_r.chunk_codes)
+    return pair_hist_rows(
+        pos_r, idx_r, chunk_codes, pos_c, layout_c,
+        n_codes_r=layout_r.n_codes, lengths=lengths, bin_size=bin_size,
+        n_bins=n_bins, r_cut=r_cut, exclude_self=exclude_self, dtype=dtype,
+        onehot_dtype=onehot_dtype, method=method,
+    )
+
+
+def pair_hist_rows(
+    pos_r,  # (n_chunks, LANE, 3) row chunks (may be a shard of the rows)
+    idx_r,  # (n_chunks, LANE) original atom indices, -1 = pad
+    chunk_codes,  # (n_chunks,) 0-based row code per chunk
+    pos_c,  # (n_padded_c, 3) full padded column set
+    layout_c: TypeLayout,
+    n_codes_r: int,
+    lengths=None,
+    bin_size: float = 0.1,
+    n_bins: int = 100,
+    r_cut: float = 10.0,
+    exclude_self: bool = False,
+    dtype=jnp.float32,
+    onehot_dtype=None,
+    method: str = "auto",
+):
+    """Row-chunk-level ordered-pair histogram. ``pair_hist`` wraps this
+    with the full row set; the sharded path (``mdproptools_tpu.parallel``)
+    feeds each device its row-chunk shard and psums the result."""
     if method == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         method = "onehot" if (on_tpu and dtype == jnp.float32) else "scatter"
@@ -145,15 +176,10 @@ def pair_hist(
         onehot_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
     F = LANE
     H = -(-n_bins // F)  # radix-hi size
-    nr_chunks = layout_r.n_padded // LANE
 
-    pos_r = pos_r.astype(dtype).reshape(nr_chunks, LANE, 3)
     pos_c = pos_c.astype(dtype)
     lengths = jnp.asarray(lengths, dtype)
-    idx_r = jnp.asarray(layout_r.perm).reshape(nr_chunks, LANE)
     idx_c = jnp.asarray(layout_c.perm)
-    chunk_codes = jnp.asarray(layout_r.chunk_codes)
-
     r_cut_sq = jnp.asarray(r_cut * r_cut, dtype)
 
     # static column-block geometry
@@ -205,7 +231,11 @@ def pair_hist(
         return hist, None
 
     acc_dtype = jnp.float32 if dtype == jnp.float32 else dtype
-    hist0 = jnp.zeros((layout_r.n_codes, layout_c.n_codes, n_bins), acc_dtype)
+    hist0 = jnp.zeros((n_codes_r, layout_c.n_codes, n_bins), acc_dtype)
+    # derive the carry from an input so its varying-manual-axes tag matches
+    # under shard_map (a bare zeros carry is 'unvarying' and scan rejects
+    # the mismatch); folds to zeros outside shard_map
+    hist0 = hist0 + (pos_r[0, 0, 0] * 0).astype(acc_dtype)
     hist, _ = jax.lax.scan(body, hist0, (pos_r, idx_r, chunk_codes))
     return hist
 

@@ -1,1 +1,9 @@
+from mdproptools_tpu.parallel.mesh import (
+    make_mesh,
+    sharded_charge_flux,
+    sharded_msd_per_type,
+    sharded_rdf_hist,
+)
 
+__all__ = ["make_mesh", "sharded_rdf_hist", "sharded_msd_per_type",
+           "sharded_charge_flux"]

@@ -1,0 +1,179 @@
+"""
+Device-mesh helpers and the frame+atom-sharded analysis step.
+
+The reference's only parallelism is a fork-based process pool over frames
+(``conductivity.py:190-191``, ``hydration_number.py:86-89``); here the
+equivalents are a 2-D ``jax.sharding.Mesh``:
+
+- axis ``"frames"`` — data parallelism over trajectory frames (the
+  reference's pool axis);
+- axis ``"atoms"`` — intra-frame parallelism over the pair kernel's row
+  chunks (the reference intended numba ``parallel=True`` here but ships
+  it commented out, ``rdf_cn.py:35``).
+
+Inside ``shard_map`` each device holds a (frames-shard, row-chunk-shard)
+block of positions, all-gathers the frame's full atom set along the
+``atoms`` axis (columns), computes its partial ordered-pair histogram,
+and the result is ``psum``-reduced over both axes — collectives ride ICI,
+never the host. MSD reductions and charge-flux segment sums shard over
+``frames`` only.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mdproptools_tpu.ops import acf as acf_ops
+from mdproptools_tpu.ops import pairs as pair_ops
+
+try:  # jax >= 0.4.35
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.shard_map import shard_map
+
+
+def make_mesh(n_frames_axis: Optional[int] = None,
+              n_atoms_axis: int = 1,
+              devices=None) -> Mesh:
+    """2-D mesh over (frames, atoms). Defaults to all devices on the
+    frames axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_frames_axis is None:
+        n_frames_axis = len(devices) // n_atoms_axis
+    dev = np.asarray(devices[: n_frames_axis * n_atoms_axis]).reshape(
+        n_frames_axis, n_atoms_axis
+    )
+    return Mesh(dev, axis_names=("frames", "atoms"))
+
+
+def sharded_rdf_hist(
+    pos,  # (T, n_padded, 3) padded positions (gather_padded output)
+    lengths,  # (T, 3)
+    layout: pair_ops.TypeLayout,
+    bin_size: float,
+    n_bins: int,
+    r_cut: float,
+    mesh: Mesh,
+    exclude_self: bool = True,
+    dtype=jnp.float32,
+):
+    """Frame- and row-sharded ordered-pair histogram sum over all frames:
+    returns the fully-reduced (n_codes, n_codes, n_bins) histogram
+    (already summed over frames), replicated on every device.
+
+    Sharding: pos rows are viewed as (T, n_chunks, LANE, 3); T shards
+    over ``frames``, n_chunks over ``atoms``. Each device all-gathers the
+    frame's columns along ``atoms`` and computes its row-chunk partial
+    histogram; psum over both axes reduces.
+    """
+    T, n_padded, _ = pos.shape
+    n_chunks = n_padded // pair_ops.LANE
+    pos4 = pos.astype(dtype).reshape(T, n_chunks, pair_ops.LANE, 3)
+    idx_r = jnp.asarray(layout.perm).reshape(n_chunks, pair_ops.LANE)
+    chunk_codes = jnp.asarray(layout.chunk_codes)
+    # pad row chunks to a multiple of the atoms axis with inert chunks
+    # (idx -1 -> every pair invalid); frames axis must divide T
+    n_atoms_axis = mesh.devices.shape[1]
+    pad = (-n_chunks) % n_atoms_axis
+    if pad:
+        pos4 = jnp.concatenate(
+            [pos4, jnp.zeros((T, pad, pair_ops.LANE, 3), pos4.dtype)], axis=1
+        )
+        idx_r = jnp.concatenate(
+            [idx_r, jnp.full((pad, pair_ops.LANE), -1, idx_r.dtype)], axis=0
+        )
+        chunk_codes = jnp.concatenate(
+            [chunk_codes, jnp.zeros(pad, chunk_codes.dtype)], axis=0
+        )
+    if T % mesh.devices.shape[0]:
+        raise ValueError(
+            f"frame count {T} must divide the frames mesh axis "
+            f"{mesh.devices.shape[0]}"
+        )
+
+    in_specs = (
+        P("frames", "atoms", None, None),  # pos4
+        P("frames", None),  # lengths
+        P("atoms", None),  # idx_r
+        P("atoms"),  # chunk_codes
+    )
+    out_spec = P()  # fully reduced / replicated
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_spec)
+    def run(pos_local, len_local, idx_local, codes_local):
+        # columns: full frame = all row shards gathered along 'atoms'
+        cols = jax.lax.all_gather(pos_local, "atoms", axis=1, tiled=True)
+        # cols: (T_loc, n_chunks, LANE, 3) -> (T_loc, n_padded, 3)
+        cols = cols.reshape(pos_local.shape[0], -1, 3)
+
+        def frame_step(acc, xs):
+            p_loc, p_cols, L = xs
+            h = pair_ops.pair_hist_rows(
+                p_loc, idx_local, codes_local, p_cols, layout,
+                n_codes_r=layout.n_codes, lengths=L, bin_size=bin_size,
+                n_bins=n_bins, r_cut=r_cut, exclude_self=exclude_self,
+                dtype=dtype,
+            )
+            return acc + h, None
+
+        acc_dtype = jnp.float32 if dtype == jnp.float32 else dtype
+        acc0 = jnp.zeros((layout.n_codes, layout.n_codes, n_bins), acc_dtype)
+        acc0 = acc0 + (pos_local[0, 0, 0, 0] * 0).astype(acc_dtype)
+        acc, _ = jax.lax.scan(frame_step, acc0,
+                              (pos_local, cols, len_local))
+        acc = jax.lax.psum(acc, "atoms")
+        acc = jax.lax.psum(acc, "frames")
+        return acc
+
+    return run(pos4, jnp.asarray(lengths, dtype), idx_r, chunk_codes)
+
+
+def sharded_msd_per_type(coords, ref_coords, type_index, n_types, mesh):
+    """Per-type MSD vs a replicated reference frame, frames sharded.
+    coords: (T, M, 3); returns (T, n_types) (sharded over frames)."""
+    in_specs = (P("frames", None, None), P(None, None), P(None))
+    out_spec = P("frames", None)
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_spec)
+    def run(c_local, ref, tidx):
+        disp2 = ((c_local - ref[None]) ** 2).sum(axis=2)  # (T_loc, M)
+        ones = jnp.ones(disp2.shape[1], disp2.dtype)
+        counts = jax.ops.segment_sum(ones, tidx, num_segments=n_types)
+        sums = jax.vmap(
+            lambda v: jax.ops.segment_sum(v, tidx, num_segments=n_types)
+        )(disp2)
+        return sums / counts
+
+    return run(coords, ref_coords, type_index)
+
+
+def sharded_charge_flux(vel, q_mol_weighted_mass, mol_index, type_index,
+                        n_molecules, n_types, mesh):
+    """Charge flux per molecule type, frames sharded: returns
+    (T, n_types, 3) sharded over frames. ``q_mol_weighted_mass`` =
+    (masses, qmol) tuple of per-atom masses and per-molecule charges."""
+    masses, qmol = q_mol_weighted_mass
+    in_specs = (P("frames", None, None),)
+    out_spec = P("frames", None, None)
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_spec)
+    def run(v_local):
+        w = v_local * masses[None, :, None]
+        vcom_num = jax.vmap(
+            lambda x: jax.ops.segment_sum(x, mol_index,
+                                          num_segments=n_molecules)
+        )(w)
+        mtot = jax.ops.segment_sum(masses, mol_index,
+                                   num_segments=n_molecules)
+        vcom = vcom_num / mtot[None, :, None]
+        weighted = vcom * qmol[None, :, None]
+        return jax.vmap(
+            lambda x: jax.ops.segment_sum(x, type_index,
+                                          num_segments=n_types)
+        )(weighted)
+
+    return run(vel)

@@ -1,0 +1,98 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh: sharded
+results must equal the single-device path exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdproptools_tpu.ops import pairs as pair_ops
+from mdproptools_tpu.parallel import (
+    make_mesh,
+    sharded_charge_flux,
+    sharded_msd_per_type,
+    sharded_rdf_hist,
+)
+
+
+@pytest.fixture(scope="module")
+def synthetic():
+    rng = np.random.default_rng(21)
+    T, n, box = 8, 256, 12.0
+    pos = rng.uniform(0, box, size=(T, n, 3))
+    codes = rng.integers(1, 4, size=n)
+    lengths = np.full((T, 3), box)
+    return pos, codes, lengths
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_rdf_matches_single(synthetic):
+    pos, codes, lengths = synthetic
+    lay = pair_ops.build_type_layout(codes, 3)
+    pp = pair_ops.gather_padded(jnp.asarray(pos), lay)  # (T, Np, 3)
+    mesh = make_mesh(n_frames_axis=4, n_atoms_axis=2)
+    got = np.asarray(
+        sharded_rdf_hist(pp, lengths, lay, 0.1, 50, 5.0, mesh,
+                         dtype=jnp.float64)
+    )
+    want = np.zeros_like(got)
+    for t in range(pos.shape[0]):
+        want += np.asarray(
+            pair_ops.pair_hist(pp[t], pp[t], lay, lay,
+                               jnp.asarray(lengths[t]), 0.1, 50, 5.0,
+                               exclude_self=True, dtype=jnp.float64)
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_sharded_msd_matches_single(synthetic):
+    pos, codes, lengths = synthetic
+    mesh = make_mesh(n_frames_axis=8, n_atoms_axis=1)
+    tidx = jnp.asarray(codes - 1)
+    got = np.asarray(
+        sharded_msd_per_type(jnp.asarray(pos), jnp.asarray(pos[0]),
+                             tidx, 3, mesh)
+    )
+    disp2 = ((pos - pos[0]) ** 2).sum(axis=2)
+    for k in range(3):
+        sel = codes - 1 == k
+        np.testing.assert_allclose(got[:, k], disp2[:, sel].mean(axis=1),
+                                   rtol=1e-12)
+
+
+def test_sharded_charge_flux_matches_single(synthetic):
+    pos, codes, lengths = synthetic
+    rng = np.random.default_rng(22)
+    T, n = pos.shape[:2]
+    vel = rng.normal(size=(T, n, 3))
+    masses = rng.uniform(1, 20, size=n)
+    # molecules of 4 atoms each
+    mol_index = np.repeat(np.arange(n // 4), 4)
+    qmol = rng.normal(size=n // 4)
+    type_index = np.tile([0, 1], n // 8)
+    mesh = make_mesh(n_frames_axis=4, n_atoms_axis=2)
+    got = np.asarray(
+        sharded_charge_flux(
+            jnp.asarray(vel), (jnp.asarray(masses), jnp.asarray(qmol)),
+            jnp.asarray(mol_index), jnp.asarray(type_index), n // 4, 2,
+            mesh,
+        )
+    )
+    # oracle
+    want = np.zeros((T, 2, 3))
+    for t in range(T):
+        M = n // 4
+        mtot = np.zeros(M)
+        np.add.at(mtot, mol_index, masses)
+        vcom = np.zeros((M, 3))
+        for ax in range(3):
+            w = np.zeros(M)
+            np.add.at(w, mol_index, masses * vel[t, :, ax])
+            vcom[:, ax] = w / mtot
+        for k in range(2):
+            want[t, k] = (vcom[type_index == k]
+                          * qmol[type_index == k, None]).sum(axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)

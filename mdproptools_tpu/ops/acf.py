@@ -17,8 +17,18 @@ All functions broadcast over leading axes, so a whole (pairs x xyz x T)
 block of correlations runs as one batched FFT on device.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _needs_host_fft(x) -> bool:
+    """float64 FFTs need complex128, which TPUs do not support; strict-
+    precision correlations therefore run on the host (NumPy) when the
+    active backend is an accelerator. float32 stays on device."""
+    return (
+        np.dtype(x.dtype) == np.float64 and jax.default_backend() != "cpu"
+    )
 
 
 def correlate(a, b):
@@ -27,6 +37,13 @@ def correlate(a, b):
     out[..., k] = sum_t a[..., t+k] * b[..., t] / (N - k),  k = 0..N-1
     """
     n = a.shape[-1]
+    if _needs_host_fft(a):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        fa = np.fft.fft(a, n=2 * n, axis=-1)
+        fb = np.fft.fft(b, n=2 * n, axis=-1)
+        c = np.fft.ifft(fa * np.conj(fb), axis=-1).real[..., :n]
+        return c / (n - np.arange(n))
     fa = jnp.fft.fft(a, n=2 * n, axis=-1)
     fb = jnp.fft.fft(b, n=2 * n, axis=-1)
     c = jnp.fft.ifft(fa * jnp.conj(fb), axis=-1).real[..., :n]
@@ -37,6 +54,11 @@ def correlate(a, b):
 def autocorrelate(x):
     """Unbiased FFT autocorrelation over the last axis (WKT)."""
     n = x.shape[-1]
+    if _needs_host_fft(x):
+        x = np.asarray(x)
+        f = np.fft.fft(x, n=2 * n, axis=-1)
+        c = np.fft.ifft(f * np.conj(f), axis=-1).real[..., :n]
+        return c / (n - np.arange(n))
     f = jnp.fft.fft(x, n=2 * n, axis=-1)
     c = jnp.fft.ifft(f * jnp.conj(f), axis=-1).real[..., :n]
     norm = (n - jnp.arange(n)).astype(c.dtype)

@@ -168,10 +168,26 @@ def pair_hist_rows(
 ):
     """Row-chunk-level ordered-pair histogram. ``pair_hist`` wraps this
     with the full row set; the sharded path (``mdproptools_tpu.parallel``)
-    feeds each device its row-chunk shard and psums the result."""
+    feeds each device its row-chunk shard and psums the result.
+
+    Methods: 'pallas' (fused VMEM kernel, TPU f32 default), 'onehot'
+    (XLA radix one-hot matmul), 'scatter' (segment-sum; CPU/f64 default).
+    """
     if method == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
-        method = "onehot" if (on_tpu and dtype == jnp.float32) else "scatter"
+        if on_tpu and dtype == jnp.float32 and n_bins <= 1024:
+            method = "pallas"
+        elif on_tpu and dtype == jnp.float32:
+            method = "onehot"
+        else:
+            method = "scatter"
+    if method == "pallas":
+        from mdproptools_tpu.ops.pairs_pallas import pair_hist_rows_pallas
+
+        return pair_hist_rows_pallas(
+            pos_r, idx_r, chunk_codes, pos_c, layout_c, n_codes_r,
+            lengths, bin_size, n_bins, r_cut, exclude_self,
+        )
     if onehot_dtype is None:
         onehot_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
     F = LANE
@@ -206,19 +222,24 @@ def pair_hist_rows(
             if method == "onehot":
                 hi = b // F
                 lo = jnp.where(valid, b - hi * F, F)  # F -> zero one-hot row
+                # int8 one-hots halve the HBM traffic of the materialized
+                # (P, F) matrices (the dominant cost of this path on TPU);
+                # int8 x int8 -> int32 MXU accumulation is exact for counts
+                use_int8 = dtype == jnp.float32
+                oh_dt = jnp.int8 if use_int8 else onehot_dtype
+                acc_dt = jnp.int32 if use_int8 else (
+                    jnp.float32 if dtype == jnp.float32 else dtype)
                 oh_hi = jax.nn.one_hot(
                     jnp.where(valid.reshape(-1), hi.reshape(-1), H),
                     H,
-                    dtype=onehot_dtype,
+                    dtype=oh_dt,
                 )
-                oh_lo = jax.nn.one_hot(lo.reshape(-1), F, dtype=onehot_dtype)
+                oh_lo = jax.nn.one_hot(lo.reshape(-1), F, dtype=oh_dt)
                 h2d = jax.lax.dot_general(
                     oh_hi,
                     oh_lo,
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32
-                    if dtype == jnp.float32
-                    else dtype,
+                    preferred_element_type=acc_dt,
                 )
                 h1d = h2d.reshape(-1)[:n_bins]
             else:  # scatter: segment-sum over bin ids, overflow bin dropped

@@ -1,0 +1,32 @@
+"""Pallas kernel parity vs the scatter path (interpreter mode on CPU;
+the same kernel was verified bit-exact on real TPU hardware)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdproptools_tpu.ops import pairs as pair_ops
+from mdproptools_tpu.ops.pairs_pallas import pair_hist_rows_pallas
+
+
+@pytest.mark.parametrize("exclude_self", [True, False])
+def test_pallas_matches_scatter(exclude_self):
+    rng = np.random.default_rng(5)
+    n, box = 300, 11.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    pp = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    L = jnp.asarray([box] * 3, jnp.float32)
+    nc = lay.n_padded // pair_ops.LANE
+    got = np.asarray(pair_hist_rows_pallas(
+        pp.reshape(nc, pair_ops.LANE, 3),
+        jnp.asarray(lay.perm).reshape(nc, pair_ops.LANE).astype(jnp.int32),
+        jnp.asarray(lay.chunk_codes, jnp.int32),
+        pp, lay, 3, L, 0.05, 400, 5.0, exclude_self, interpret=True,
+    ))
+    want = np.asarray(pair_ops.pair_hist(
+        pp, pp, lay, lay, L, 0.05, 400, 5.0, exclude_self,
+        dtype=jnp.float32, method="scatter",
+    ))
+    np.testing.assert_array_equal(got, want)

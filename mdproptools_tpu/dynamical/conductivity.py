@@ -28,10 +28,11 @@ from scipy.integrate import cumulative_trapezoid
 
 from mdproptools_tpu.common import constants
 from mdproptools_tpu.common.system import System
-from mdproptools_tpu.io.lammps_dump import read_trajectory
+from mdproptools_tpu.io.lammps_dump import peek_dump_columns, read_trajectory
 from mdproptools_tpu.ops import acf as acf_ops
 from mdproptools_tpu.ops import com as com_ops
 from mdproptools_tpu.ops.precision import resolve_dtype
+from mdproptools_tpu.utilities.tracing import stage
 
 
 class Conductivity:
@@ -119,7 +120,12 @@ class Conductivity:
         -> (3, n_mol_types, T). One device program replaces the process
         pool (``conductivity.py:167-195``)."""
         dtype = resolve_dtype(self.precision)
-        traj = read_trajectory(f"{self.working_dir}/{self.filename}")
+        pattern = f"{self.working_dir}/{self.filename}"
+        available = peek_dump_columns(pattern)
+        wanted = ["id", "type", "q", "mass", "vx", "vy", "vz"]
+        traj = read_trajectory(
+            pattern, columns=[c for c in wanted if c in available]
+        )
         system = System(self.num_mols, self.num_atoms_per_mol, mass=self.mass)
         if self.mass is not None:
             types = traj.col("type")[0].astype(np.int64)
@@ -155,11 +161,12 @@ class Conductivity:
                                     num_segments=vel_d.shape[0] * n_types)
             return j.reshape(vel_d.shape[0], n_types, 3)
 
-        j = np.asarray(
-            flux_fn(jnp.asarray(vel, dtype), jnp.asarray(q, dtype),
-                    jnp.asarray(masses, dtype)),
-            np.float64,
-        )
+        with stage("charge_flux", frames=vel.shape[0]):
+            j = np.asarray(
+                flux_fn(jnp.asarray(vel, dtype), jnp.asarray(q, dtype),
+                        jnp.asarray(masses, dtype)),
+                np.float64,
+            )
         self.time = list(
             traj.timesteps.astype(np.float64)
             * constants.TIME_CONVERSION[self.units]

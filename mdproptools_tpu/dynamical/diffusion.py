@@ -31,7 +31,7 @@ import pandas as pd
 
 from mdproptools_tpu.common import constants
 from mdproptools_tpu.common.system import System
-from mdproptools_tpu.io.lammps_dump import read_trajectory
+from mdproptools_tpu.io.lammps_dump import peek_dump_columns, read_trajectory
 from mdproptools_tpu.ops import com as com_ops
 from mdproptools_tpu.ops.fits import ols_no_intercept
 from mdproptools_tpu.ops.precision import resolve_dtype
@@ -95,11 +95,12 @@ class Diffusion:
         or (msd, msd_all, msd_int) DataFrames with the reference layouts.
         """
         dtype = resolve_dtype(precision)
-        cols = ["id", "type", "x", "y", "z", "xu", "yu", "zu", "ix", "iy",
-                "iz", "mass", "q", "mol"]
+        wanted = ["id", "type", "x", "y", "z", "xu", "yu", "zu", "ix", "iy",
+                  "iz", "mass"]
+        pattern = f"{self.outputs_dir}/{filename}"
+        available = peek_dump_columns(pattern)
         traj = read_trajectory(
-            f"{self.outputs_dir}/{filename}",
-            columns=None,  # keep all; column set probed below
+            pattern, columns=[c for c in wanted if c in available]
         )
         if not traj.has("id"):
             raise AssertionError("Missing atom id's in dump file.")

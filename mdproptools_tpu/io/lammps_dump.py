@@ -240,6 +240,20 @@ class Trajectory:
         )
 
 
+def peek_dump_columns(pattern: str) -> List[str]:
+    """Column names of the first frame's ATOMS section without parsing
+    any data (used to restrict ``read_trajectory(columns=...)`` to the
+    intersection a property module actually needs)."""
+    files = _sort_files_by_wildcard(pattern, _glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no dump files match {pattern!r}")
+    with open(files[0], "r") as fh:
+        for line in fh:
+            if line.startswith("ITEM: ATOMS"):
+                return line.replace("ITEM: ATOMS", "").split()
+    raise ValueError(f"no ATOMS section in {files[0]!r}")
+
+
 def read_trajectory(
     pattern: str,
     columns: Optional[Sequence[str]] = None,

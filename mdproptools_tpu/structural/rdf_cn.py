@@ -41,6 +41,7 @@ from mdproptools_tpu.io.lammps_dump import Trajectory, read_trajectory
 from mdproptools_tpu.ops import com as com_ops
 from mdproptools_tpu.ops import pairs as pair_ops
 from mdproptools_tpu.ops.precision import resolve_dtype
+from mdproptools_tpu.utilities.tracing import stage
 
 CON_CONSTANT = 1.660538921  # g/mol/A^3 -> g/cm^3, as in rdf_cn.py:30
 
@@ -159,12 +160,13 @@ def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None):
     total = np.zeros(out_shape, np.float64)
     for s in range(0, T, FRAME_BLOCK):
         e = min(s + FRAME_BLOCK, T)
-        pos_b = jnp.asarray(pos[s:e], dtype)
-        pc_b = pos_b if same else jnp.asarray(pos_cols[s:e], dtype)
-        total += np.asarray(
-            run_block(pos_b, pc_b, jnp.asarray(lengths[s:e], dtype)),
-            np.float64,
-        )
+        with stage("frame_block", start=s, frames=e - s):
+            pos_b = jnp.asarray(pos[s:e], dtype)
+            pc_b = pos_b if same else jnp.asarray(pos_cols[s:e], dtype)
+            total += np.asarray(
+                run_block(pos_b, pc_b, jnp.asarray(lengths[s:e], dtype)),
+                np.float64,
+            )
     return total / T
 
 

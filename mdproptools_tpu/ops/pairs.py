@@ -90,6 +90,54 @@ def build_type_layout(codes_1based, n_codes: int, pad: int = LANE) -> TypeLayout
     )
 
 
+def spatial_sort_perm(pos, layout: TypeLayout, lengths, cell_size=None):
+    """Per-frame spatially-sorted permutation: within each type block,
+    atoms are reordered by Morton (Z-curve) cell index so consecutive
+    128-atom tiles are spatially compact. Compact tiles let the Pallas
+    kernel's center/radius cull skip tile pairs farther than r_cut —
+    the key O(N^2) -> O(N * n_near) lever for large boxes.
+
+    Returns a (n_padded,) permutation with the same block structure as
+    ``layout.perm`` (pad slots stay -1); feed it as ``idx_r``/``idx_c``
+    and gather positions with it.
+    """
+    pos = np.asarray(pos)
+    lengths = np.asarray(lengths)
+    if cell_size is None:
+        cell_size = max(float(lengths.min()) / 16, 1e-9)
+    ncell = np.maximum((lengths / cell_size).astype(np.int64), 1)
+    cell = np.minimum(
+        (pos / cell_size).astype(np.int64), (ncell - 1)[None, :]
+    )
+    cell = np.maximum(cell, 0)
+
+    def morton(c):
+        # interleave 10 bits per axis
+        out = np.zeros(c.shape[0], np.int64)
+        for bit in range(10):
+            for ax in range(3):
+                out |= ((c[:, ax] >> bit) & 1) << (3 * bit + ax)
+        return out
+
+    code = morton(cell)
+    perm = layout.perm.copy()
+    for t in range(layout.n_codes):
+        s = layout.block_start[t]
+        n = layout.counts[t]
+        block = perm[s : s + n]
+        order = np.argsort(code[block], kind="stable")
+        perm[s : s + n] = block[order]
+    return perm
+
+
+def gather_padded_perm(values, perm):
+    """Gather with an explicit (possibly per-frame) padded permutation."""
+    idx = jnp.maximum(perm, 0)
+    mask = perm >= 0
+    out = jnp.take(values, idx, axis=-2)
+    return jnp.where(mask[..., :, None], out, jnp.zeros_like(out))
+
+
 def gather_padded(values, layout: TypeLayout):
     """Gather per-atom ``values`` (..., N, C) into the padded layout
     (..., n_padded, C); pad slots get zeros (they are masked by index
@@ -165,6 +213,7 @@ def pair_hist_rows(
     dtype=jnp.float32,
     onehot_dtype=None,
     method: str = "auto",
+    idx_c=None,
 ):
     """Row-chunk-level ordered-pair histogram. ``pair_hist`` wraps this
     with the full row set; the sharded path (``mdproptools_tpu.parallel``)
@@ -172,6 +221,7 @@ def pair_hist_rows(
 
     Methods: 'pallas' (fused VMEM kernel, TPU f32 default), 'onehot'
     (XLA radix one-hot matmul), 'scatter' (segment-sum; CPU/f64 default).
+    ``idx_c`` overrides the column permutation (per-frame spatial sort).
     """
     if method == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
@@ -186,7 +236,7 @@ def pair_hist_rows(
 
         return pair_hist_rows_pallas(
             pos_r, idx_r, chunk_codes, pos_c, layout_c, n_codes_r,
-            lengths, bin_size, n_bins, r_cut, exclude_self,
+            lengths, bin_size, n_bins, r_cut, exclude_self, idx_c=idx_c,
         )
     if onehot_dtype is None:
         onehot_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
@@ -195,7 +245,10 @@ def pair_hist_rows(
 
     pos_c = pos_c.astype(dtype)
     lengths = jnp.asarray(lengths, dtype)
-    idx_c = jnp.asarray(layout_c.perm)
+    if idx_c is None:
+        idx_c = jnp.asarray(layout_c.perm)
+    else:
+        idx_c = jnp.asarray(idx_c)
     r_cut_sq = jnp.asarray(r_cut * r_cut, dtype)
 
     # static column-block geometry

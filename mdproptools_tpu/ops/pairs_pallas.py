@@ -90,10 +90,33 @@ def _kernel(
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 1)
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (LANE, H_SUB), 1)
 
-    for tb, start, size in col_blocks:
-        n_tiles = size // F
+    # conservative bounding sphere of this row chunk (torus metric):
+    # min-imaged displacements relative to the first row atom; pad rows
+    # excluded. For spatially-sorted layouts the radius is small and the
+    # per-tile cull below skips most far tiles; for unsorted layouts the
+    # radius is ~box-sized and the cull never fires (safe no-op).
+    rvalid = (idxr >= 0).astype(jnp.float32)  # (LANE, 1)
+    nvalid = jnp.maximum(jnp.sum(rvalid), 1.0)
+    drx = wrap(xr - xr[0, 0], lx) * rvalid
+    dry = wrap(yr - yr[0, 0], ly) * rvalid
+    drz = wrap(zr - zr[0, 0], lz) * rvalid
+    mx = jnp.sum(drx) / nvalid
+    my = jnp.sum(dry) / nvalid
+    mz = jnp.sum(drz) / nvalid
+    cx = xr[0, 0] + mx
+    cy = yr[0, 0] + my
+    cz = zr[0, 0] + mz
+    rad2 = jnp.max(
+        ((drx - mx) ** 2 + (dry - my) ** 2 + (drz - mz) ** 2) * rvalid
+    )
+    cull_thresh = (jnp.sqrt(rc2) + jnp.sqrt(rad2)) ** 2
 
-        def tile_body(t, acc):
+    def with_acc(acc_ref):
+      for tb, start, size in col_blocks:
+        n_tiles = size // F
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def tile_body(t, carry):
             # 128-aligned tile load (VMEM dynamic slices must be
             # lane-aligned), pair math batched over the whole tile
             off = pl.multiple_of(start + t * F, F)
@@ -101,59 +124,84 @@ def _kernel(
             yc = cols_ref[1, pl.ds(off, F)]
             zc = cols_ref[2, pl.ds(off, F)]
             idxc = idxc_ref[0, pl.ds(off, F)]
-            dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
-            dy = wrap(yr - yc[None, :], ly)
-            dz = wrap(zr - zc[None, :], lz)
-            rsq = dx * dx + dy * dy + dz * dz
-            b = (jnp.sqrt(rsq) * inv_ddr).astype(jnp.int32)
-            valid = (rsq < rc2) & (b < n_bins)
-            valid &= (idxr >= 0) & (idxc[None, :] >= 0)
-            if exclude_self:
-                valid &= idxr != idxc[None, :]
-            # radix split batched over the whole tile ((LANE, 1)-shaped ops
-            # inside the column loop run at 1/128 lane efficiency, so hoist
-            # everything hoistable); invalid pairs get radix-hi H_SUB,
-            # which selects an all-zero one-hot row
-            hi_t = jnp.where(valid, jax.lax.div(b, jnp.int32(F)), H_SUB)
-            lo_t = b - jax.lax.div(b, jnp.int32(F)) * jnp.int32(F)
 
-            # C_GROUP columns per fori iteration, one small MXU dot each
-            # into C_GROUP INDEPENDENT accumulators (no dependency chain,
-            # so the dots pipeline); a lane roll walks the tile. fori_loop
-            # (not a full static unroll) so Mosaic reuses scratch buffers.
-            def group_body(g, carry):
-                hi_c, lo_c, accs = carry
-                new_accs = []
-                for j in range(C_GROUP):
-                    oh_hi = (hi_c[:, j:j + 1] == iota_hi).astype(jnp.bfloat16)
-                    oh_lo = (lo_c[:, j:j + 1] == iota_lo).astype(jnp.bfloat16)
-                    new_accs.append(accs[j] + jax.lax.dot_general(
-                        oh_hi,
-                        oh_lo,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ))  # (H_SUB, F)
-                return (
-                    pltpu.roll(hi_c, F - C_GROUP, 1),
-                    pltpu.roll(lo_c, F - C_GROUP, 1),
-                    tuple(new_accs),
+            # tile cull: min torus distance from the tile's columns to the
+            # row chunk's bounding-sphere center; skip the whole tile if
+            # even the closest column is beyond r_cut + radius. pl.when
+            # (not lax.cond: Mosaic predicates value-level cond, executing
+            # both sides) so the skip is a real branch.
+            dcx = wrap(xc - cx, lx)
+            dcy = wrap(yc - cy, ly)
+            dcz = wrap(zc - cz, lz)
+            col_ok = jnp.where(idxc >= 0,
+                               dcx * dcx + dcy * dcy + dcz * dcz,
+                               jnp.float32(3.4e38))
+            dmin2 = jnp.min(col_ok)
+
+            @pl.when(dmin2 <= cull_thresh)
+            def _heavy():
+                dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
+                dy = wrap(yr - yc[None, :], ly)
+                dz = wrap(zr - zc[None, :], lz)
+                rsq = dx * dx + dy * dy + dz * dz
+                b = (jnp.sqrt(rsq) * inv_ddr).astype(jnp.int32)
+                valid = (rsq < rc2) & (b < n_bins)
+                valid &= (idxr >= 0) & (idxc[None, :] >= 0)
+                if exclude_self:
+                    valid &= idxr != idxc[None, :]
+                # radix split batched over the whole tile ((LANE, 1)-shaped
+                # ops inside the column loop run at 1/128 lane efficiency,
+                # so hoist everything hoistable); invalid pairs get
+                # radix-hi H_SUB, which selects an all-zero one-hot row
+                hi_t = jnp.where(valid, jax.lax.div(b, jnp.int32(F)), H_SUB)
+                lo_t = b - jax.lax.div(b, jnp.int32(F)) * jnp.int32(F)
+
+                # C_GROUP columns per fori iteration, one small MXU dot
+                # each into C_GROUP INDEPENDENT accumulators (no dependency
+                # chain, so the dots pipeline); a lane roll walks the tile.
+                # fori_loop (not a full static unroll) so Mosaic reuses
+                # scratch buffers.
+                def group_body(g, carry):
+                    hi_c, lo_c, accs = carry
+                    new_accs = []
+                    for j in range(C_GROUP):
+                        oh_hi = (hi_c[:, j:j + 1] == iota_hi).astype(
+                            jnp.bfloat16)
+                        oh_lo = (lo_c[:, j:j + 1] == iota_lo).astype(
+                            jnp.bfloat16)
+                        new_accs.append(accs[j] + jax.lax.dot_general(
+                            oh_hi,
+                            oh_lo,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))  # (H_SUB, F)
+                    return (
+                        pltpu.roll(hi_c, F - C_GROUP, 1),
+                        pltpu.roll(lo_c, F - C_GROUP, 1),
+                        tuple(new_accs),
+                    )
+
+                accs0 = tuple(
+                    jnp.zeros((H_SUB, F), jnp.float32)
+                    for _ in range(C_GROUP)
                 )
+                _, _, accs = jax.lax.fori_loop(
+                    0, F // C_GROUP, group_body, (hi_t, lo_t, accs0)
+                )
+                total = accs[0]
+                for a in accs[1:]:
+                    total = total + a
+                acc_ref[...] = acc_ref[...] + total
 
-            accs0 = tuple(
-                jnp.zeros((H_SUB, F), jnp.float32) for _ in range(C_GROUP)
-            )
-            _, _, accs = jax.lax.fori_loop(0, F // C_GROUP, group_body,
-                                           (hi_t, lo_t, accs0))
-            for a in accs:
-                acc = acc + a
-            return acc
+            return carry
 
-        acc = jax.lax.fori_loop(
-            0, n_tiles, tile_body, jnp.zeros((H_SUB, F), jnp.float32)
-        )
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
         row = ta * n_codes_c + tb
         cur = out_ref[pl.ds(row, 1), :]
-        out_ref[pl.ds(row, 1), :] = cur + acc.reshape(1, H_SUB * F)
+        out_ref[pl.ds(row, 1), :] = cur + acc_ref[...].reshape(
+            1, H_SUB * F)
+
+    pl.run_scoped(with_acc, pltpu.VMEM((H_SUB, F), jnp.float32))
 
 
 def pair_hist_rows_pallas(
@@ -169,11 +217,14 @@ def pair_hist_rows_pallas(
     r_cut: float,
     exclude_self: bool,
     interpret: bool = False,
+    idx_c=None,
 ):
     """Pallas implementation of ``pairs.pair_hist_rows`` (f32).
 
     Returns (n_codes_r, n_codes_c, n_bins) float32. ``interpret`` runs
-    the kernel in the Pallas interpreter (CPU test path).
+    the kernel in the Pallas interpreter (CPU test path). ``idx_c``
+    overrides the column permutation (per-frame spatially-sorted
+    layouts); defaults to ``layout_c.perm``.
     """
     n_chunks = pos_r.shape[0]
     n_codes_c = layout_c.n_codes
@@ -188,7 +239,10 @@ def pair_hist_rows_pallas(
     rows = jnp.transpose(pos_r.astype(jnp.float32), (0, 2, 1))  # (nc,3,LANE)
     cols = jnp.transpose(pos_c.astype(jnp.float32), (1, 0))  # (3, Npc)
     idxr = idx_r.astype(jnp.int32)[:, None, :]  # (nc, 1, LANE)
-    idxc = jnp.asarray(layout_c.perm, jnp.int32)[None, :]
+    if idx_c is None:
+        idxc = jnp.asarray(layout_c.perm, jnp.int32)[None, :]
+    else:
+        idxc = jnp.asarray(idx_c, jnp.int32)[None, :]
     lengths = jnp.asarray(lengths, jnp.float32).reshape(1, 3)
 
     kernel = functools.partial(

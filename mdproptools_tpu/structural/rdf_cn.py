@@ -134,7 +134,8 @@ def _save_cn(relation_matrix, path_or_buff, cn, save_mode):
 # --------------------------------------------------------------------------
 # device frame loop
 # --------------------------------------------------------------------------
-def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None):
+def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None,
+                     perms=None):
     """Mean over frames of ``step_fn(pos_t, pos_cols_t, L_t)`` computed as
     an on-device running sum (``lax.scan`` over fixed-size frame blocks,
     tail padded with zero weight), fetched once per block, divided by the
@@ -145,13 +146,14 @@ def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None):
     acc_dtype = jnp.float32 if dtype == jnp.float32 else dtype
 
     @jax.jit
-    def run_block(pos_b, pos_cols_b, lengths_b):
+    def run_block(pos_b, pos_cols_b, lengths_b, perms_b):
         def step(acc, xs):
-            p, pc, L = xs
-            return acc + step_fn(p, pc, L).astype(acc.dtype), None
+            p, pc, L, pm = xs
+            return acc + step_fn(p, pc, L, pm).astype(acc.dtype), None
 
         acc0 = jnp.zeros(out_shape, acc_dtype)
-        acc, _ = jax.lax.scan(step, acc0, (pos_b, pos_cols_b, lengths_b))
+        acc, _ = jax.lax.scan(step, acc0,
+                              (pos_b, pos_cols_b, lengths_b, perms_b))
         return acc
 
     # exact-size blocks (no padding: a padded frame would still run the
@@ -163,8 +165,11 @@ def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None):
         with stage("frame_block", start=s, frames=e - s):
             pos_b = jnp.asarray(pos[s:e], dtype)
             pc_b = pos_b if same else jnp.asarray(pos_cols[s:e], dtype)
+            pm_b = (jnp.zeros((e - s, 1), jnp.int32) if perms is None
+                    else jnp.asarray(perms[s:e], jnp.int32))
             total += np.asarray(
-                run_block(pos_b, pc_b, jnp.asarray(lengths[s:e], dtype)),
+                run_block(pos_b, pc_b, jnp.asarray(lengths[s:e], dtype),
+                          pm_b),
                 np.float64,
             )
     return total / T
@@ -173,7 +178,7 @@ def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None):
 def _rdf_mean(
     pos, codes, n_codes, lengths, bin_size, n_bins, r_cut, relation_matrix,
     code_counts_rows, code_counts_cols, exclude_self, with_full, dtype,
-    pos_cols=None, codes_cols=None, n_codes_cols=None,
+    pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort=False,
 ):
     """Frame-averaged normalized RDF: returns (g_full or None, g_part).
 
@@ -191,9 +196,42 @@ def _rdf_mean(
     R = relation_matrix.shape[0]
     n_rows_total = int(code_counts_rows.sum())
 
-    def step(p, pc, L):
+    # per-frame spatially-sorted permutations (tile-cull support in the
+    # Pallas kernel; only meaningful for the self-pair atom-atom case)
+    perms = None
+    if spatial_sort and pos_cols is None:
+        perms = np.stack([
+            pair_ops.spatial_sort_perm(pos[t], layout_r, lengths[t])
+            for t in range(pos.shape[0])
+        ]).astype(np.int32)
+
+    def step(p, pc, L, pm):
         sdtype = p.dtype
         shell_d = jnp.asarray(shell, sdtype)
+        if perms is not None:
+            pr = pair_ops.gather_padded_perm(p, pm)
+            nc = layout_r.n_padded // pair_ops.LANE
+            hist = pair_ops.pair_hist_rows(
+                pr.reshape(nc, pair_ops.LANE, 3),
+                pm.reshape(nc, pair_ops.LANE),
+                jnp.asarray(layout_r.chunk_codes),
+                pr, layout_r, n_codes_r=layout_r.n_codes, lengths=L,
+                bin_size=bin_size, n_bins=n_bins, r_cut=r_cut,
+                exclude_self=exclude_self, dtype=sdtype, idx_c=pm,
+            ).astype(sdtype)
+            V = L[0] * L[1] * L[2]
+            rows = []
+            if with_full:
+                rho = n_rows_total / V
+                rows.append(hist.sum(axis=(0, 1))
+                            / (n_rows_total * rho * shell_d))
+            for a, b in relation_matrix:
+                n_a = float(code_counts_rows[int(a) - 1])
+                cnt_b = float(code_counts_cols[int(b) - 1])
+                rho_b = cnt_b / V
+                rows.append(hist[int(a) - 1, int(b) - 1]
+                            / (n_a * rho_b * shell_d))
+            return jnp.stack(rows)
         pr = pair_ops.gather_padded(p, layout_r)
         pcc = pr if pos_cols is None else pair_ops.gather_padded(pc, layout_c)
         hist = pair_ops.pair_hist(
@@ -214,7 +252,7 @@ def _rdf_mean(
 
     nrows = R + (1 if with_full else 0)
     out = _scan_frame_mean(step, (nrows, n_bins), pos, lengths, dtype,
-                           pos_cols=pos_cols)
+                           pos_cols=pos_cols, perms=perms)
     if with_full:
         return out[0], out[1:]
     return None, out
@@ -238,7 +276,7 @@ def _cn_mean(
         np.float64,
     )
 
-    def step(p, pc, L):
+    def step(p, pc, L, pm):
         sdtype = p.dtype
         pr = pair_ops.gather_padded(p, layout_r)
         pcc = pr if pos_cols is None else pair_ops.gather_padded(pc, layout_c)
@@ -283,9 +321,15 @@ def calc_atomic_rdf(
     path_or_buff="rdf.csv",
     save_mode=True,
     precision="fast",
+    spatial_sort=False,
 ):
     """Full and partial atom-atom RDF averaged over all frames matching
-    ``filename`` (reference: ``rdf_cn.py:385-530``)."""
+    ``filename`` (reference: ``rdf_cn.py:385-530``).
+
+    ``spatial_sort=True`` re-orders atoms spatially per frame so the
+    Pallas kernel's tile cull can skip far tile pairs — worthwhile when
+    the box is much larger than r_cut (large-N systems); identical
+    results either way."""
     dtype = resolve_dtype(precision)
     traj = _load(filename)
     codes, n_codes, _ = _atom_codes(traj, num_types, num_mols, num_atoms_per_mol)
@@ -300,7 +344,7 @@ def calc_atomic_rdf(
     rdf_full, rdf_part = _rdf_mean(
         pos, codes, n_codes, lengths, bin_size, num_bins, float(r_cut),
         relation_matrix, code_counts, code_counts, exclude_self=True,
-        with_full=True, dtype=dtype,
+        with_full=True, dtype=dtype, spatial_sort=spatial_sort,
     )
     return _save_rdf(_radii(bin_size, num_bins), relation_matrix, path_or_buff,
                      save_mode, rdf_part, rdf_full)

@@ -30,3 +30,35 @@ def test_pallas_matches_scatter(exclude_self):
         dtype=jnp.float32, method="scatter",
     ))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_spatial_sort_matches_scatter():
+    """Spatially-sorted per-frame permutation + culling must not change
+    results (cull is conservative)."""
+    rng = np.random.default_rng(9)
+    n, box = 520, 30.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    perm = pair_ops.spatial_sort_perm(pos, lay, np.full(3, box))
+    # same multiset of atoms per block
+    for t in range(3):
+        s, c = lay.block_start[t], lay.counts[t]
+        assert sorted(perm[s:s+c]) == sorted(lay.perm[s:s+c])
+    pp = pair_ops.gather_padded_perm(jnp.asarray(pos), jnp.asarray(perm))
+    L = jnp.asarray([box] * 3, jnp.float32)
+    nc = lay.n_padded // pair_ops.LANE
+    got = np.asarray(pair_hist_rows_pallas(
+        pp.reshape(nc, pair_ops.LANE, 3),
+        jnp.asarray(perm).reshape(nc, pair_ops.LANE).astype(jnp.int32),
+        jnp.asarray(lay.chunk_codes, jnp.int32),
+        pp, lay, 3, L, 0.05, 200, 8.0, True, interpret=True,
+        idx_c=jnp.asarray(perm),
+    ))
+    # reference: unsorted layout, scatter path
+    pp0 = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    want = np.asarray(pair_ops.pair_hist(
+        pp0, pp0, lay, lay, L, 0.05, 200, 8.0, True,
+        dtype=jnp.float32, method="scatter",
+    ))
+    np.testing.assert_array_equal(got, want)

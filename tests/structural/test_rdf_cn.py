@@ -177,3 +177,15 @@ def test_frame_averaging_multi_frame(mg_tfsi_dme_dir, tmp_path):
         (out0["g_8-9"].to_numpy() + out1["g_8-9"].to_numpy()) / 2,
         rtol=1e-12,
     )
+
+
+def test_spatial_sort_identical_results(frame0, tmp_path):
+    """spatial_sort=True must not change any output value."""
+    f, *_ = frame0
+    kw = dict(save_mode=False, precision="strict")
+    a = rdf_cn.calc_atomic_rdf(6.0, 0.1, NUM_TYPES, MASS, [[8], [9]], f, **kw)
+    b = rdf_cn.calc_atomic_rdf(6.0, 0.1, NUM_TYPES, MASS, [[8], [9]], f,
+                               spatial_sort=True, **kw)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

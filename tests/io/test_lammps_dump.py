@@ -59,3 +59,30 @@ def test_read_trajectory_stack(mg_tfsi_dme_dir):
                                4.9591174418091420e01 - 4.0882558190751794e-01)
     # types constant across frames after id sort
     assert np.array_equal(traj.col("type")[0], traj.col("type")[2])
+
+
+def test_multi_frame_single_file(tmp_path):
+    """Several frames concatenated into ONE dump file (LAMMPS default)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from helpers import write_dump
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    parts = []
+    for ts in (0, 100, 200):
+        data = np.zeros((4, 5))
+        data[:, 0] = np.arange(1, 5)
+        data[:, 1] = [1, 1, 2, 2]
+        data[:, 2:5] = rng.uniform(0, 5, (4, 3))
+        p = tmp_path / f"part{ts}"
+        write_dump(str(p), ts, 0.0, 5.0, ["id", "type", "x", "y", "z"], data)
+        parts.append(p.read_text())
+    combined = tmp_path / "multi.dump"
+    combined.write_text("".join(parts))
+    traj = read_trajectory(str(combined))
+    assert traj.n_frames == 3
+    assert traj.timesteps.tolist() == [0, 100, 200]

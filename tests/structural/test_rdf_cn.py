@@ -189,3 +189,40 @@ def test_spatial_sort_identical_results(frame0, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_intermolecular_rdf(frame0, tmp_path):
+    """COM-vs-COM RDF including self pairs (reference rdf_cn.py:857-903)."""
+    f, pos, types, lengths = frame0
+    system = System(NUM_MOLS, NUM_ATOMS_PER_MOL, mass=MASS)
+    masses = np.asarray(MASS)[types - 1]
+    mol_pos = oracle.com_per_molecule(pos, masses, system.mol_index,
+                                      system.n_molecules)
+    mol_codes = system.mol_type_of_molecule
+    relations = [[3, 1], [2, 1]]
+    rel_pairs = list(zip(relations[0], relations[1]))
+    r_cut, bin_size = 10.0, 0.2
+    out = rdf_cn.calc_intermolecular_rdf(
+        r_cut, bin_size, NUM_TYPES, MASS, relations, f,
+        num_mols=NUM_MOLS, num_atoms_per_mol=NUM_ATOMS_PER_MOL,
+        save_mode=False, precision="strict",
+    )
+    part_c = oracle.rdf_mol_loop(mol_pos, mol_codes, mol_pos, mol_codes,
+                                 lengths, r_cut, bin_size, rel_pairs)
+    vol = float(np.prod(lengths))
+    mol_counts = np.bincount(mol_codes - 1, minlength=3)
+    for r, (a, b) in enumerate(rel_pairs):
+        want = oracle.normalize_rdf_part(
+            part_c[r], mol_counts[a - 1], mol_counts[b - 1], vol, bin_size
+        )
+        np.testing.assert_allclose(
+            out[f"g_{a}-{b}"].to_numpy(), want, rtol=1e-9, atol=1e-14
+        )
+    # self-pairs included: for the (1,1)-style relation of a type with
+    # itself at bin 0, the reference counts the molecule against itself
+    out_self = rdf_cn.calc_intermolecular_rdf(
+        10.0, 0.2, NUM_TYPES, MASS, [[3], [3]], f,
+        num_mols=NUM_MOLS, num_atoms_per_mol=NUM_ATOMS_PER_MOL,
+        save_mode=False, precision="strict",
+    )
+    assert out_self["g_3-3"].iloc[0] > 0  # self count lands in bin 0

@@ -288,14 +288,77 @@ class Conductivity:
                     bbox_inches="tight", pad_inches=0.1)
         plt.close(fig)
 
-    def einstein(self):
-        raise NotImplementedError(
-            "Einstein-relation conductivity is not implemented (the "
-            "reference stubs it too, conductivity.py:399)"
-        )
+    def einstein(self, initial_time=None, final_time=None):
+        """Einstein-Helfand conductivity (the reference stubs this,
+        ``conductivity.py:399``): sigma = slope of the collective
+        translocation MSD,
 
-    def nernst(self):
-        raise NotImplementedError(
-            "Nernst-Einstein conductivity is not implemented (the "
-            "reference stubs it too, conductivity.py:402)"
+            sigma = d/dt < |sum_i q_i (r_i(t) - r_i(0))|^2 > / (6 kB T V)
+
+        computed from unwrapped coordinates via one device program, with
+        a no-intercept OLS slope over [initial_time, final_time] seconds
+        (defaults to the whole trajectory). Returns sigma in S/m.
+        """
+        from mdproptools_tpu.ops.fits import ols_no_intercept
+
+        dtype = resolve_dtype(self.precision)
+        pattern = f"{self.working_dir}/{self.filename}"
+        available = peek_dump_columns(pattern)
+        wanted = ["id", "type", "q", "x", "y", "z", "xu", "yu", "zu",
+                  "ix", "iy", "iz"]
+        traj = read_trajectory(
+            pattern, columns=[c for c in wanted if c in available]
+        )
+        if all(traj.has(c) for c in ("xu", "yu", "zu")):
+            xu = traj.cols(["xu", "yu", "zu"])
+        else:
+            xu = traj.cols(["x", "y", "z"]) + traj.cols(
+                ["ix", "iy", "iz"]) * traj.box_lengths[:, None, :]
+        if not traj.has("q"):
+            raise AssertionError("Missing atom charges in dump file.")
+        q = traj.col("q")[0]
+        dconv = constants.DISTANCE_CONVERSION[self.units]
+        qconv = constants.CHARGE_CONVERSION[self.units]
+
+        @jax.jit
+        def translocation_msd(xu_d, q_d):
+            # P(t) = sum_i q_i r_i(t); MSD of P relative to t=0
+            p = jnp.einsum("tnc,n->tc", xu_d, q_d)
+            dp = p - p[0][None]
+            return jnp.sum(dp * dp, axis=1)
+
+        msd = np.asarray(
+            translocation_msd(jnp.asarray(xu * dconv, dtype),
+                              jnp.asarray(q * qconv, dtype)),
+            np.float64,
+        )
+        time_s = (traj.timesteps.astype(np.float64) * self.timestep
+                  * constants.TIME_CONVERSION[self.units])
+        lo = initial_time if initial_time is not None else time_s.min()
+        hi = final_time if final_time is not None else time_s.max()
+        sel = (time_s >= lo) & (time_s <= hi)
+        fit = ols_no_intercept(time_s[sel], msd[sel])
+        return fit.slope / (6 * constants.BOLTZMANN * self.temp
+                            * self.volume)
+
+    def nernst(self, diffusion, charges, counts, temp=None):
+        """Nernst-Einstein conductivity from self-diffusion coefficients
+        (the reference stubs this, ``conductivity.py:402``):
+
+            sigma_NE = (1 / (V kB T)) * sum_k N_k (z_k e)^2 D_k
+
+        Args:
+          diffusion: per-species D in m^2/s (sequence, one per species).
+          charges: per-species formal charge z_k (in e).
+          counts: per-species molecule counts N_k.
+        Returns sigma_NE in S/m (ideal, no ion-pairing correction).
+        """
+        temp = temp if temp is not None else self.temp
+        diffusion = np.asarray(diffusion, np.float64)
+        z = np.asarray(charges, np.float64)
+        n = np.asarray(counts, np.float64)
+        e = constants.ELEMENTARY_CHARGE
+        return float(
+            np.sum(n * (z * e) ** 2 * diffusion)
+            / (self.volume * constants.BOLTZMANN * temp)
         )

@@ -152,3 +152,63 @@ def test_calc_cond_synthetic_known_sigma(tmp_path):
     assert (tmp_path / "charge_flux.csv").exists()
     assert (tmp_path / "integral.csv").exists()
     assert (tmp_path / "conductivity.csv").exists()
+
+
+def test_einstein_helfand_synthetic(tmp_path):
+    """Ions drifting ballistically: P(t) = J*t exactly, so the
+    translocation MSD is (J t)^2 ... for a linear-in-t check use a
+    diffusive synthetic instead: charges on independent random walks
+    give <|dP|^2> = 2 * sum q_i^2 * D * ... ; here we verify the exact
+    quadratic for constant drift analytically."""
+    n1 = 4
+    T_frames = 30
+    box = 20.0
+    rng = np.random.default_rng(12)
+    pos0 = rng.uniform(0, box, size=(2 * n1, 3))
+    v = np.zeros((2 * n1, 3))
+    v[:n1, 0] = 1e-3
+    v[n1:, 0] = -1e-3
+    cols = ["id", "type", "q", "x", "y", "z", "ix", "iy", "iz"]
+    frames, ts_list = [], list(range(0, T_frames * 1000, 1000))
+    for k, ts in enumerate(ts_list):
+        d = np.zeros((2 * n1, len(cols)))
+        d[:, 0] = np.arange(1, 2 * n1 + 1)
+        d[:, 1] = [1] * n1 + [2] * n1
+        d[:, 2] = [1.0] * n1 + [-1.0] * n1
+        p = pos0 + v * ts
+        d[:, 3:6] = p % box
+        d[:, 6:9] = np.floor(p / box)
+        frames.append(d)
+    pattern = write_traj(str(tmp_path), ts_list, 0.0, box, cols, frames)
+    cond = Conductivity(
+        os.path.basename(pattern), [n1, n1], [1, 1], volume=box**3,
+        mass=[22.99, 35.45], temp=300.0, units="real",
+        working_dir=str(tmp_path),
+    )
+    sigma = cond.einstein()
+    # P(t) = sum q_i v_i t = (n1*1e-3 + n1*1e-3) e*A/fs * t -> |dP|^2 = C t^2
+    # OLS slope of C t^2 vs t over [0, T]: slope = C * sum(t^3)/sum(t^2)
+    e = constants.ELEMENTARY_CHARGE
+    Jx = 2 * n1 * 1e-3 * e * (constants.DISTANCE_CONVERSION["real"]
+                              / constants.TIME_CONVERSION["real"])
+    t = np.array(ts_list) * constants.TIME_CONVERSION["real"]
+    C = Jx**2
+    slope = C * np.sum(t**3) / np.sum(t**2)
+    want = slope / (6 * constants.BOLTZMANN * 300.0
+                    * box**3 * constants.DISTANCE_CONVERSION["real"]**3)
+    np.testing.assert_allclose(sigma, want, rtol=1e-6)
+
+
+def test_nernst_einstein():
+    cond = Conductivity.__new__(Conductivity)
+    cond.volume = 1e-25  # m^3
+    cond.temp = 300.0
+    D = [1e-9, 2e-10]
+    z = [1, -1]
+    n = [100, 100]
+    got = cond.nernst(D, z, n)
+    e = constants.ELEMENTARY_CHARGE
+    want = (100 * e**2 * 1e-9 + 100 * e**2 * 2e-10) / (
+        1e-25 * constants.BOLTZMANN * 300.0
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-12)

@@ -1,3 +1,8 @@
+from mdproptools_tpu.parallel.sweep import (
+    sweep_conductivity,
+    sweep_msd,
+    sweep_rdf,
+)
 from mdproptools_tpu.parallel.mesh import (
     make_mesh,
     sharded_charge_flux,
@@ -6,4 +11,5 @@ from mdproptools_tpu.parallel.mesh import (
 )
 
 __all__ = ["make_mesh", "sharded_rdf_hist", "sharded_msd_per_type",
-           "sharded_charge_flux"]
+           "sharded_charge_flux", "sweep_rdf", "sweep_msd",
+           "sweep_conductivity"]

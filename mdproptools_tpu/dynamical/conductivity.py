@@ -301,7 +301,6 @@ class Conductivity:
         """
         from mdproptools_tpu.ops.fits import ols_no_intercept
 
-        dtype = resolve_dtype(self.precision)
         pattern = f"{self.working_dir}/{self.filename}"
         available = peek_dump_columns(pattern)
         wanted = ["id", "type", "q", "x", "y", "z", "xu", "yu", "zu",
@@ -320,18 +319,14 @@ class Conductivity:
         dconv = constants.DISTANCE_CONVERSION[self.units]
         qconv = constants.CHARGE_CONVERSION[self.units]
 
-        @jax.jit
-        def translocation_msd(xu_d, q_d):
-            # P(t) = sum_i q_i r_i(t); MSD of P relative to t=0
-            p = jnp.einsum("tnc,n->tc", xu_d, q_d)
-            dp = p - p[0][None]
-            return jnp.sum(dp * dp, axis=1)
-
-        msd = np.asarray(
-            translocation_msd(jnp.asarray(xu * dconv, dtype),
-                              jnp.asarray(q * qconv, dtype)),
-            np.float64,
-        )
+        # The collective dipole P(t) = sum_i q_i r_i(t) is a heavily
+        # cancelling sum (neutral system): float32 loses it entirely, so
+        # this O(T*N) reduction always runs float64 on host regardless of
+        # the precision setting.
+        p = np.einsum("tnc,n->tc", np.asarray(xu, np.float64),
+                      np.asarray(q, np.float64)) * (dconv * qconv)
+        dp = p - p[0][None]
+        msd = np.sum(dp * dp, axis=1)
         time_s = (traj.timesteps.astype(np.float64) * self.timestep
                   * constants.TIME_CONVERSION[self.units])
         lo = initial_time if initial_time is not None else time_s.min()

@@ -18,7 +18,7 @@ Atoms are assumed sorted by LAMMPS atom id, matching the reference's
 ``sort_values("id")`` convention.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import numpy as np

@@ -18,7 +18,6 @@ norm) on device.
 """
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

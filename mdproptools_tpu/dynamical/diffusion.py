@@ -23,7 +23,6 @@ Reference quirks preserved (parity-verified by tests):
 """
 
 import os
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

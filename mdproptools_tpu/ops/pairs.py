@@ -28,9 +28,7 @@ exact integers < 2^24 per tile); ``strict`` runs float64 end-to-end for
 bit-parity with the reference's NumPy math.
 """
 
-import functools
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,14 +20,13 @@ never the host. MSD reductions and charge-flux segment sums shard over
 """
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from mdproptools_tpu.ops import acf as acf_ops
 from mdproptools_tpu.ops import pairs as pair_ops
 
 try:  # jax >= 0.4.35

@@ -10,9 +10,8 @@ stacked structure. With a mesh, each trajectory's frames additionally
 shard over the ``frames`` axis (see ``mdproptools_tpu.parallel.mesh``).
 """
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
-import numpy as np
 import pandas as pd
 
 from mdproptools_tpu.utilities.tracing import stage

@@ -27,7 +27,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from mdproptools_tpu.common.system import System, altered_atom_types
+from mdproptools_tpu.common.system import System
 from mdproptools_tpu.io.lammps_dump import read_trajectory
 
 

@@ -29,8 +29,6 @@ Math preserved exactly (verified by the float64 oracle tests):
 - CN cutoff is exact (rsq < r_cut[rel]^2), not binned (``rdf_cn.py:112``).
 """
 
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -111,6 +111,10 @@ class Conductivity:
             if r[1] - r[0] > best_len:
                 best_len = r[1] - r[0]
                 best = r
+        if best is None:  # only zero-length runs found
+            raise ValueError(
+                "detect_time_range: no near-zero plateau found; loosen tol"
+            )
         return best
 
     # ------------------------------------------------------------------
@@ -307,11 +311,9 @@ class Conductivity:
         traj = read_trajectory(
             pattern, columns=[c for c in wanted if c in available]
         )
-        if all(traj.has(c) for c in ("xu", "yu", "zu")):
-            xu = traj.cols(["xu", "yu", "zu"])
-        else:
-            xu = traj.cols(["x", "y", "z"]) + traj.cols(
-                ["ix", "iy", "iz"]) * traj.box_lengths[:, None, :]
+        from mdproptools_tpu.dynamical.diffusion import Diffusion
+
+        xu = Diffusion._unwrapped_coords(traj)
         if not traj.has("q"):
             raise AssertionError("Missing atom charges in dump file.")
         q = traj.col("q")[0]

@@ -124,10 +124,19 @@ class ResidenceTime:
                 # mask self pairs: same position index within the type
                 eye = np.equal.outer(sel_k, sel_l)
                 h = h * jnp.asarray(~eye, dtype)[None]
-            # batched ACF over all (central atom, partner) columns
+            # batched ACF over all (central atom, partner) columns, in
+            # bounded chunks so the zero-padded complex FFT never
+            # materializes more than ~chunk x 2T at once
             cols = h.reshape(T, -1).T  # (Na*Nb, T)
-            cov = np.asarray(acf_ops.autocorrelate(cols), np.float64)
-            corr_array = cov.sum(axis=0) / cols.shape[0]
+            n_cols = cols.shape[0]
+            chunk = max(1, 8_388_608 // (2 * T))  # ~8M elements per FFT
+            cov_sum = np.zeros(T, np.float64)
+            for s in range(0, n_cols, chunk):
+                block = cols[s:s + chunk]
+                cov_sum += np.asarray(
+                    acf_ops.autocorrelate(block), np.float64
+                ).sum(axis=0)
+            corr_array = cov_sum / n_cols
             corr_array = corr_array / corr_array[0]
             correlation[atom_pair] = corr_array
 
@@ -215,6 +224,7 @@ class Displacement:
         times_ps = traj.timesteps.astype(np.float64) * self.dt
         frame_dt = times_ps[1] - times_ps[0] if len(times_ps) > 1 else self.dt
         pos = traj.cols(["x", "y", "z"])
+        lengths = traj.box_lengths  # (T, 3)
         out = {}
         for atom_type in self.atom_types:
             tau = self.residence_time[atom_type]
@@ -222,6 +232,10 @@ class Displacement:
             lag = min(lag, traj.n_frames - 1)
             sel = types == atom_type
             d = pos[lag:, sel, :] - pos[:-lag, sel, :]
+            # wrapped input coordinates: apply minimum image so boundary
+            # crossings do not appear as box-sized displacements
+            L = lengths[lag:, None, :]
+            d = d - L * np.round(d / L)
             out[atom_type] = pd.DataFrame({
                 "displacement": np.linalg.norm(d, axis=2).reshape(-1),
                 "lag (ps)": lag * frame_dt,

@@ -9,6 +9,12 @@ API-compatible with the reference ``mdproptools/dynamical/viscosity.py``
 batched Wiener-Khinchin FFT on device; the double-exponential
 extrapolation to infinite time (10.1021/jp062885s) stays on host via
 scipy least squares.
+
+Divergence from the reference: in ``fit_avg_visc`` the reference tests
+``if std_indexes:`` / ``if time_indexes:`` on np.where tuples, which are
+always truthy, so when the std never reaches 0.4*eta (or no time exceeds
+2 ps) it crashes with IndexError (viscosity.py:276-286); here those
+cases fall back to the full window (idx_cut_time = len(visc)) / index 1.
 """
 
 import glob

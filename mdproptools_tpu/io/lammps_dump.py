@@ -137,6 +137,15 @@ def parse_frames_from_text(text: str, sort_by_id: bool = True) -> Iterator[Frame
         if len(periodic) != 3:
             pp = [f for f in flags if f not in ("xy", "xz", "yz")]
             periodic = tuple(x.startswith("p") for x in pp[:3]) or (True,) * 3
+        if triclinic:
+            # LAMMPS triclinic bounds are tilt-inflated (xlo_bound = xlo +
+            # min(0, xy, xz, xy+xz), ...), so hi-lo is NOT the cell length;
+            # all downstream minimum-image math assumes orthogonal boxes
+            # (the reference's per-axis wrap, rdf_cn.py:50-55, does too).
+            raise ValueError(
+                "triclinic dump boxes (xy/xz/yz tilt) are not supported; "
+                "minimum-image analysis here assumes orthogonal cells"
+            )
         bounds = np.zeros((3, 2))
         tilt = np.zeros(3) if triclinic else None
         cursor = bb_header_end + 1

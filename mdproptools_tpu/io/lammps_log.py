@@ -15,8 +15,6 @@ from typing import List
 import numpy as np
 import pandas as pd
 
-_FLOAT_CHARS = set("0123456789+-.eEinfnaINFA")
-
 
 def _is_numeric_row(tokens: List[str]) -> bool:
     if not tokens:

@@ -90,8 +90,8 @@ def sharded_rdf_hist(
         )
     if T % mesh.devices.shape[0]:
         raise ValueError(
-            f"frame count {T} must divide the frames mesh axis "
-            f"{mesh.devices.shape[0]}"
+            f"frame count {T} must be divisible by the frames mesh axis "
+            f"size {mesh.devices.shape[0]}; pad or trim the frame block"
         )
 
     in_specs = (

@@ -63,7 +63,6 @@ def get_hydration_number(
         raise ValueError("no atoms match cation_type/water_type")
     # water atoms grouped per molecule; first atom = coordinating (O),
     # atoms 2 and 3 define the bisector (hydration_number.py:60-67)
-    w_mol = system.mol_id[water_sel]
     napm = system.num_atoms_per_mol[water_type - 1]
     if napm < 3:
         raise ValueError("water molecule type must have >= 3 atoms")
@@ -72,8 +71,9 @@ def get_hydration_number(
     all_cos = []
     factors = []
     n_frames = traj.n_frames
+    pos_all = traj.cols(["x", "y", "z"])  # hoisted: cols() copies (T,N,3)
     for t in range(n_frames):
-        pos = traj.cols(["x", "y", "z"])[t]
+        pos = pos_all[t]
         lengths = traj.box_lengths[t]
         cat = pos[cation_sel]  # (C, 3)
         o = pos[w_atoms[:, 0]]  # (W, 3)

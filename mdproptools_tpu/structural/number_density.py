@@ -61,8 +61,9 @@ def calc_number_density(
     axis_idx = {"x": 0, "y": 1, "z": 2}[axis_norm_interface]
     rho_part_sum = np.zeros((len(atom_types), num_bins))
     T = traj.n_frames
+    coord_all = traj.col(axis_norm_interface)  # (T, N), one copy
     for t in range(T):
-        coord = traj.cols(["x", "y", "z"])[t][:, axis_idx].copy()
+        coord = coord_all[t].copy()
         surface = coord[codes == surface_atom]
         if surface.size == 0:
             raise ValueError(

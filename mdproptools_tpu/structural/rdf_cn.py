@@ -217,25 +217,16 @@ def _rdf_mean(
                 bin_size=bin_size, n_bins=n_bins, r_cut=r_cut,
                 exclude_self=exclude_self, dtype=sdtype, idx_c=pm,
             ).astype(sdtype)
-            V = L[0] * L[1] * L[2]
-            rows = []
-            if with_full:
-                rho = n_rows_total / V
-                rows.append(hist.sum(axis=(0, 1))
-                            / (n_rows_total * rho * shell_d))
-            for a, b in relation_matrix:
-                n_a = float(code_counts_rows[int(a) - 1])
-                cnt_b = float(code_counts_cols[int(b) - 1])
-                rho_b = cnt_b / V
-                rows.append(hist[int(a) - 1, int(b) - 1]
-                            / (n_a * rho_b * shell_d))
-            return jnp.stack(rows)
-        pr = pair_ops.gather_padded(p, layout_r)
-        pcc = pr if pos_cols is None else pair_ops.gather_padded(pc, layout_c)
-        hist = pair_ops.pair_hist(
-            pr, pcc, layout_r, layout_c, L, bin_size, n_bins, r_cut,
-            exclude_self, dtype=sdtype,
-        ).astype(sdtype)
+        else:
+            pr = pair_ops.gather_padded(p, layout_r)
+            pcc = (pr if pos_cols is None
+                   else pair_ops.gather_padded(pc, layout_c))
+            hist = pair_ops.pair_hist(
+                pr, pcc, layout_r, layout_c, L, bin_size, n_bins, r_cut,
+                exclude_self, dtype=sdtype,
+            ).astype(sdtype)
+        # reference-exact per-frame normalization (rho_b = count_b / V
+        # first, then counts / (N_a * rho_b * Vshell)) shared by both paths
         V = L[0] * L[1] * L[2]
         rows = []
         if with_full:

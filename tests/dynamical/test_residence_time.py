@@ -121,3 +121,23 @@ def test_displacement_working(synthetic_traj, tmp_path):
     assert len(out[2]) > 0
     assert (out[2]["displacement"] >= 0).all()
     assert (tmp_path / "displacement_2.csv").exists()
+
+
+def test_displacement_pbc_wrap(tmp_path):
+    """An atom crossing the periodic boundary must not produce a
+    box-sized displacement (review finding)."""
+    box = 10.0
+    # one atom moving +0.4/frame crossing the boundary at x ~ 10
+    xs = [9.7, 0.1, 0.5]  # wrapped positions; true steps are +0.4
+    frames = []
+    for x in xs:
+        d = np.zeros((1, 5))
+        d[0] = [1, 1, x, 5.0, 5.0]
+        frames.append(d)
+    pattern = write_traj(str(tmp_path), [0, 1000, 2000], 0.0, box,
+                         ["id", "type", "x", "y", "z"], frames)
+    disp = Displacement(atom_types=[1], residence_time={1: 0.001},
+                        filename=pattern, dt=1, working_dir=str(tmp_path))
+    out = disp.calc_dist()
+    assert (out[1]["displacement"] < 1.0).all()
+    np.testing.assert_allclose(out[1]["displacement"], 0.4, atol=1e-9)

@@ -86,3 +86,20 @@ def test_multi_frame_single_file(tmp_path):
     traj = read_trajectory(str(combined))
     assert traj.n_frames == 3
     assert traj.timesteps.tolist() == [0, 100, 200]
+
+
+def test_triclinic_box_rejected(tmp_path):
+    """Triclinic dumps must fail loudly (min-image math assumes
+    orthogonal cells; LAMMPS tilt-inflates the bounds)."""
+    text = (
+        "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n1\n"
+        "ITEM: BOX BOUNDS xy xz yz pp pp pp\n"
+        "0.0 10.0 1.0\n0.0 10.0 0.0\n0.0 10.0 0.0\n"
+        "ITEM: ATOMS id type x y z \n1 1 1.0 1.0 1.0 \n"
+    )
+    p = tmp_path / "tri.dump"
+    p.write_text(text)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="triclinic"):
+        read_trajectory(str(p))

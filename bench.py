@@ -72,10 +72,13 @@ def main():
         os.path.abspath(__file__)), "tests"))
     import oracle  # noqa: E402
 
-    t0 = time.time()
-    oracle.rdf_loop(pos[0], codes, lengths[0], r_cut, bin_size,
-                    [tuple(r) for r in relations])
-    base_time_per_frame = time.time() - t0
+    # best of 2 single-frame runs: conservative (highest) baseline fps
+    base_time_per_frame = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        oracle.rdf_loop(pos[0], codes, lengths[0], r_cut, bin_size,
+                        [tuple(r) for r in relations])
+        base_time_per_frame = min(base_time_per_frame, time.time() - t0)
     base_fps = 1.0 / base_time_per_frame
 
     print(json.dumps({

@@ -42,7 +42,7 @@ from mdproptools_tpu.ops.pairs import LANE, TypeLayout
 
 F = 128  # radix-lo width == lane width
 H_SUB = 8  # sublane-padded radix-hi size (supports n_bins <= 1024)
-C_GROUP = 16  # independent column dots per fori iteration
+C_GROUP = 64  # independent column dots per fori iteration
 
 
 def _kernel(

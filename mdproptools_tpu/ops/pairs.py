@@ -128,6 +128,56 @@ def spatial_sort_perm(pos, layout: TypeLayout, lengths, cell_size=None):
     return perm
 
 
+def _morton3(cell, bits):
+    """Interleave ``bits`` bits per axis of (N, 3) int32 cell coords."""
+    out = jnp.zeros(cell.shape[0], jnp.int32)
+    for bit in range(bits):
+        for ax in range(3):
+            out = out | (((cell[:, ax] >> bit) & 1) << (3 * bit + ax))
+    return out
+
+
+def pick_ncell(n_atoms: int) -> int:
+    """Cells-per-axis for the Morton sort: aim for ~16 atoms per cell
+    (so a 128-atom tile spans ~8 adjacent cells), power of two in
+    [4, 64]."""
+    target = max(float(n_atoms) / 16.0, 1.0) ** (1.0 / 3.0)
+    return int(min(64, max(4, 2 ** round(np.log2(target)))))
+
+
+def device_sort_perm(pos, layout: TypeLayout, lengths, ncell: int = 16):
+    """On-device per-frame spatially-sorted permutation: within each type
+    block, atoms are reordered by Morton (Z-curve) cell index so
+    consecutive 128-atom tiles are spatially compact and the Pallas
+    kernel's center/radius tile cull can skip far tile pairs — the
+    O(N^2) -> O(N * n_near) lever for boxes much larger than r_cut.
+
+    Runs inside jit (one ``argsort`` per type block per frame; traced
+    positions/lengths, static layout). Returns a (n_padded,) int32
+    permutation with ``layout``'s block structure, pad slots = -1.
+    Reordering only changes summation order of exact integer counts, so
+    results are bit-identical to the unsorted layout.
+    """
+    bits = max(int(ncell - 1).bit_length(), 1)
+    frac = pos[:, :3] / lengths[None, :3]
+    cell = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
+    code = _morton3(cell, bits)
+    pad_key = jnp.int32(1 << 30)  # pads sort to the end of their block
+    parts = []
+    for c in range(layout.n_codes):
+        s, sz = int(layout.block_start[c]), int(layout.block_size[c])
+        if sz == 0:
+            continue
+        slot_perm = layout.perm[s : s + sz]  # host constants
+        base = jnp.asarray(np.maximum(slot_perm, 0))
+        keys = jnp.where(jnp.asarray(slot_perm >= 0), code[base], pad_key)
+        order = jnp.argsort(keys)
+        parts.append(jnp.asarray(slot_perm, jnp.int32)[order])
+    if not parts:
+        return jnp.asarray(layout.perm, jnp.int32)
+    return jnp.concatenate(parts)
+
+
 def gather_padded_perm(values, perm):
     """Gather with an explicit (possibly per-frame) padded permutation."""
     idx = jnp.maximum(perm, 0)
@@ -212,6 +262,7 @@ def pair_hist_rows(
     onehot_dtype=None,
     method: str = "auto",
     idx_c=None,
+    triangle: bool = False,
 ):
     """Row-chunk-level ordered-pair histogram. ``pair_hist`` wraps this
     with the full row set; the sharded path (``mdproptools_tpu.parallel``)
@@ -220,6 +271,8 @@ def pair_hist_rows(
     Methods: 'pallas' (fused VMEM kernel, TPU f32 default), 'onehot'
     (XLA radix one-hot matmul), 'scatter' (segment-sum; CPU/f64 default).
     ``idx_c`` overrides the column permutation (per-frame spatial sort).
+    ``triangle`` halves the self-case pair work by tile symmetry
+    (pallas/scatter; rows must be the full column set, not a shard).
     """
     if method == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
@@ -235,7 +288,11 @@ def pair_hist_rows(
         return pair_hist_rows_pallas(
             pos_r, idx_r, chunk_codes, pos_c, layout_c, n_codes_r,
             lengths, bin_size, n_bins, r_cut, exclude_self, idx_c=idx_c,
+            triangle=triangle,
         )
+    if triangle:
+        raise ValueError(f"triangle mode requires the pallas path, "
+                         f"got method={method!r}")
     if onehot_dtype is None:
         onehot_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
     F = LANE

@@ -8,23 +8,46 @@ accumulation inside VMEM: the only HBM traffic is positions in and the
 (types x types x bins) histogram out.
 
 Shape strategy (Mosaic-friendly, all 2-D):
-- one grid program per 128-row chunk (single-typed by ``TypeLayout``;
-  the chunk's type code arrives via scalar prefetch); the chunk's
-  coordinates are transposed once to (LANE, 1) so PAIRS LIVE ON
-  SUBLANES;
-- column type blocks stream in 128-aligned tiles (fori_loop); the pair
-  math and radix split are batched per tile; a lane roll walks the
-  tile's columns in groups of ``C_GROUP``, each column one (LANE, 1)
-  static slice whose radix one-hots are plain 2-D compares against lane
-  iotas (oh_lo (LANE, 128), oh_hi (LANE, 8));
+- 2-D grid over (row chunk i, column tile j): one program per 128x128
+  pair tile, with both position blocks delivered by BlockSpec-pipelined
+  DMAs (in-kernel dynamic slices of a long VMEM row cost O(n_tiles)
+  per load and made the kernel O(N^3) at 50k atoms — the grid form is
+  O(N^2) with prefetch overlap);
+- the chunk/tile type codes and the cull bitmask arrive via scalar
+  prefetch (SMEM); each tile is single-typed by ``TypeLayout``;
+- the row chunk's coordinates are transposed once to (LANE, 1) so PAIRS
+  LIVE ON SUBLANES; pair math and the radix split are batched over the
+  whole (LANE, F) tile; a lane roll walks the tile's columns in groups
+  of ``C_GROUP``, each column one (LANE, 1) static slice whose radix
+  one-hots are plain 2-D compares against lane iotas (oh_lo (LANE, 128),
+  oh_hi (LANE, 8));
 - each column is one small MXU dot oh_hi^T @ oh_lo -> (8, 128) f32 into
-  C_GROUP INDEPENDENT accumulators (pipelined), reduced per type block
-  into the persistent VMEM output at row ``ta * n_codes_c + tb``.
+  C_GROUP INDEPENDENT accumulators (pipelined), and the tile's total is
+  added to the persistent VMEM output at sublane rows
+  [(ta * n_codes_c + tb) * H_SUB, +H_SUB).
+
+Work skipping (exact, never changes counts):
+- tile cull: per frame, XLA computes bounding spheres (torus metric) of
+  every row chunk and column tile and bit-packs a conservative
+  (n_chunks, n_tiles) keep mask (``_cull_mask_words``); the kernel's
+  skip test is two scalar SMEM ops + a branch. (An earlier variant
+  recomputed sphere/column distances with vector reductions inside
+  every program — measured 4.2 us/program of pure overhead at 42k
+  atoms, wiping out the cull's win.) With spatially-sorted layouts
+  (``pairs.device_sort_perm``) this is the O(N^2) -> O(N * n_near)
+  lever;
+- triangle (self case): each unordered slot pair is counted once
+  (tiles j > i whole; tile j == i restricted to its strictly-upper slot
+  half, folded into the keep mask) and the wrapper mirrors
+  hist + hist^T, halving pair work; r = 0 self pairs are re-added
+  analytically when exclude_self=False.
 
 Mosaic lessons encoded here: no reshapes that change the lane dim, no
 dynamic slicing of values, dynamic REF slices must be 128-aligned on
-lanes, static unrolls allocate fresh stack VMEM per iteration (use
-fori_loop), pltpu.roll shift must be non-negative.
+lanes (and cost O(row length) — use the grid instead), static unrolls
+allocate fresh stack VMEM per iteration (use fori_loop), pltpu.roll
+shift must be non-negative, per-program vector reductions are ~us-scale
+overhead (hoist them to XLA and prefetch scalars).
 
 Semantics identical to ``pairs.pair_hist_rows`` (fast/f32 path):
 bin = trunc(sqrt(rsq)/bin_size), keep rsq < r_cut^2 and bin < n_bins,
@@ -35,110 +58,136 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mdproptools_tpu.ops.pairs import LANE, TypeLayout
+from mdproptools_tpu.ops.pbc import minimum_image
 
-F = 128  # radix-lo width == lane width
+F = 128  # radix-lo width == lane width == column tile width
 H_SUB = 8  # sublane-padded radix-hi size (supports n_bins <= 1024)
 C_GROUP = 64  # independent column dots per fori iteration
+KC = 8  # column tiles per grid program (fixed ~4.5 us/program dispatch
+#         overhead measured on v5e — amortize it over KC tiles; each
+#         subtile keeps its own cull bit and skip branch)
+CULL_MARGIN = 0.1  # Angstrom slack absorbing f32 rounding in the mask
+
+
+def _tile_geometry(p, idx, lengths):
+    """Bounding spheres (torus metric) of (n, T, 3) position tiles.
+    Returns (centers (n, 3), radii (n,)); pad slots (idx < 0) excluded.
+    All-pad tiles get radius 0 (their pairs are masked in-kernel)."""
+    valid = (idx >= 0).astype(p.dtype)[..., None]  # (n, T, 1)
+    ref = p[:, :1, :]
+    d = minimum_image(p - ref, lengths) * valid
+    nv = jnp.maximum(valid.sum(axis=1), 1.0)  # (n, 1)
+    m = d.sum(axis=1) / nv  # (n, 3)
+    c = ref[:, 0, :] + m
+    rad2 = (((d - m[:, None, :]) ** 2).sum(-1) * valid[..., 0]).max(axis=1)
+    return c, jnp.sqrt(rad2)
+
+
+def _cull_mask_words(pos_r, idx_r, pos_c3, idx_c3, lengths, r_cut, triangle):
+    """Bit-packed conservative keep mask: word [i, g] bit k covers
+    (row chunk i, column tile g * KC + k) — one word per grid program,
+    so an all-culled program skips with a single scalar load + branch
+    (each taken branch costs ~4 us of vector-pipeline overhead; kept
+    tiles cluster under the Morton sort, so most programs are all-empty
+    or all-full). A tile pair is kept iff the center distance can be
+    within r_cut of some atom pair: D <= r_cut + rad_i + rad_j + margin
+    (triangle inequality in the torus metric). Triangle mode
+    additionally drops j < i; n_tiles must already be a KC multiple."""
+    cr, rr = _tile_geometry(pos_r, idx_r, lengths)
+    cc, rc = _tile_geometry(pos_c3, idx_c3, lengths)
+    d = minimum_image(cr[:, None, :] - cc[None, :, :], lengths)
+    dist = jnp.sqrt((d * d).sum(-1))
+    keep = dist <= (r_cut + CULL_MARGIN) + rr[:, None] + rc[None, :]
+    keep &= (idx_r >= 0).any(axis=1)[:, None]  # all-pad chunks/tiles
+    keep &= (idx_c3 >= 0).any(axis=1)[None, :]
+    n_chunks, n_tiles = keep.shape
+    if triangle:
+        keep &= (jnp.arange(n_tiles)[None, :]
+                 >= jnp.arange(n_chunks)[:, None])
+    bits = keep.reshape(n_chunks, n_tiles // KC, KC).astype(jnp.int32)
+    weights = jnp.int32(1) << jnp.arange(KC, dtype=jnp.int32)
+    return (bits * weights[None, None, :]).sum(axis=2, dtype=jnp.int32)
 
 
 def _kernel(
-    # scalar prefetch
-    chunk_codes_ref,  # (n_chunks,) i32
+    # scalar prefetch (SMEM)
+    chunk_codes_ref,  # (n_chunks,) i32 row-chunk type codes
+    tile_codes_ref,  # (n_tiles,) i32 column-tile type codes
+    mask_ref,  # (n_chunks, n_words) i32 bit-packed keep mask
     # inputs
-    rows_ref,  # (1, 3, LANE) f32: this chunk's x/y/z rows
+    rows_ref,  # (1, 3, LANE) f32: row chunk x/y/z
     idxr_ref,  # (1, 1, LANE) i32
-    cols_ref,  # (3, n_padded_c) f32: full column x/y/z
-    idxc_ref,  # (1, n_padded_c) i32
+    colpack_ref,  # (n_groups, 4, KC * F) f32, FULLY VMEM-RESIDENT:
+    #               sublanes 0-2 = x/y/z, 3 = original index as float
+    #               (exact for < 2^24 atoms). Constant index_map -> one
+    #               DMA per pallas_call: per-program column-block DMAs
+    #               measured ~2.1 us/KB un-pipelined on v5e/axon and
+    #               dominated the kernel at 42k atoms.
     len_ref,  # (1, 3) f32 box lengths (SMEM)
     # output
-    out_ref,  # (n_codes_r * n_codes_c, H_SUB * F) f32, persistent block
+    out_ref,  # (n_codes_r * n_codes_c * H_SUB, F) f32, persistent block
     *,
-    col_blocks,  # static: tuple of (tb, start, size)
     n_codes_c,
     bin_size,
     n_bins,
     r_cut,
     exclude_self,
+    triangle,
 ):
     i = pl.program_id(0)
+    j = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    ta = chunk_codes_ref[i]
-    lx = len_ref[0, 0]
-    ly = len_ref[0, 1]
-    lz = len_ref[0, 2]
-    # rows to sublanes: (LANE, 1)
-    xr = rows_ref[0, 0, :].reshape(1, LANE).T
-    yr = rows_ref[0, 1, :].reshape(1, LANE).T
-    zr = rows_ref[0, 2, :].reshape(1, LANE).T
-    idxr = idxr_ref[0, 0, :].reshape(1, LANE).T
-    rc2 = jnp.float32(r_cut * r_cut)
-    inv_ddr = jnp.float32(1.0 / bin_size)
+    word = mask_ref[i, j]  # this program's KC keep bits
 
-    def wrap(d, L):
-        half = L * jnp.float32(0.5)
-        return jnp.where(d > half, d - L, jnp.where(d < -half, d + L, d))
+    # zero-trip fori gating, NOT pl.when: a pl.when whose body contains
+    # a loop gets PREDICATED by Mosaic (the body executes with stores
+    # masked), so all-culled programs still paid full tile cost — the
+    # cull saved nothing. A fori_loop with a data-dependent trip count
+    # of 0 is a real runtime skip.
+    def _group(_g, carry_g):
+        ta = chunk_codes_ref[i]
+        lx = len_ref[0, 0]
+        ly = len_ref[0, 1]
+        lz = len_ref[0, 2]
+        # rows to sublanes: (LANE, 1)
+        xr = rows_ref[0, 0, :].reshape(1, LANE).T
+        yr = rows_ref[0, 1, :].reshape(1, LANE).T
+        zr = rows_ref[0, 2, :].reshape(1, LANE).T
+        idxr = idxr_ref[0, 0, :].reshape(1, LANE).T.astype(jnp.float32)
+        rc2 = jnp.float32(r_cut * r_cut)
+        inv_ddr = jnp.float32(1.0 / bin_size)
 
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 1)
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (LANE, H_SUB), 1)
+        def wrap(d, L):
+            half = L * jnp.float32(0.5)
+            return jnp.where(d > half, d - L,
+                             jnp.where(d < -half, d + L, d))
 
-    # conservative bounding sphere of this row chunk (torus metric):
-    # min-imaged displacements relative to the first row atom; pad rows
-    # excluded. For spatially-sorted layouts the radius is small and the
-    # per-tile cull below skips most far tiles; for unsorted layouts the
-    # radius is ~box-sized and the cull never fires (safe no-op).
-    rvalid = (idxr >= 0).astype(jnp.float32)  # (LANE, 1)
-    nvalid = jnp.maximum(jnp.sum(rvalid), 1.0)
-    drx = wrap(xr - xr[0, 0], lx) * rvalid
-    dry = wrap(yr - yr[0, 0], ly) * rvalid
-    drz = wrap(zr - zr[0, 0], lz) * rvalid
-    mx = jnp.sum(drx) / nvalid
-    my = jnp.sum(dry) / nvalid
-    mz = jnp.sum(drz) / nvalid
-    cx = xr[0, 0] + mx
-    cy = yr[0, 0] + my
-    cz = zr[0, 0] + mz
-    rad2 = jnp.max(
-        ((drx - mx) ** 2 + (dry - my) ** 2 + (drz - mz) ** 2) * rvalid
-    )
-    cull_thresh = (jnp.sqrt(rc2) + jnp.sqrt(rad2)) ** 2
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 1)
+        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (LANE, H_SUB), 1)
 
-    def with_acc(acc_ref):
-      for tb, start, size in col_blocks:
-        n_tiles = size // F
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        def subtile(k, carry):
+            jj = j * KC + k  # global column tile index
+            bit = jax.lax.shift_right_logical(
+                word, k.astype(jnp.int32)) & jnp.int32(1)
 
-        def tile_body(t, carry):
-            # 128-aligned tile load (VMEM dynamic slices must be
-            # lane-aligned), pair math batched over the whole tile
-            off = pl.multiple_of(start + t * F, F)
-            xc = cols_ref[0, pl.ds(off, F)]  # (F,)
-            yc = cols_ref[1, pl.ds(off, F)]
-            zc = cols_ref[2, pl.ds(off, F)]
-            idxc = idxc_ref[0, pl.ds(off, F)]
+            def _heavy(_h, carry_h):  # runs iff bit == 1 (zero-trip gate)
+                # lane slices of the resident pack (128-aligned, short row)
+                off = pl.multiple_of(k * F, F)
+                xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
+                yc = colpack_ref[j, 1, pl.ds(off, F)]
+                zc = colpack_ref[j, 2, pl.ds(off, F)]
+                idxc = colpack_ref[j, 3, pl.ds(off, F)]  # float indices
+                tb = tile_codes_ref[jj]
 
-            # tile cull: min torus distance from the tile's columns to the
-            # row chunk's bounding-sphere center; skip the whole tile if
-            # even the closest column is beyond r_cut + radius. pl.when
-            # (not lax.cond: Mosaic predicates value-level cond, executing
-            # both sides) so the skip is a real branch.
-            dcx = wrap(xc - cx, lx)
-            dcy = wrap(yc - cy, ly)
-            dcz = wrap(zc - cz, lz)
-            col_ok = jnp.where(idxc >= 0,
-                               dcx * dcx + dcy * dcy + dcz * dcz,
-                               jnp.float32(3.4e38))
-            dmin2 = jnp.min(col_ok)
-
-            @pl.when(dmin2 <= cull_thresh)
-            def _heavy():
                 dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
                 dy = wrap(yr - yc[None, :], ly)
                 dz = wrap(zr - zc[None, :], lz)
@@ -146,29 +195,33 @@ def _kernel(
                 b = (jnp.sqrt(rsq) * inv_ddr).astype(jnp.int32)
                 valid = (rsq < rc2) & (b < n_bins)
                 valid &= (idxr >= 0) & (idxc[None, :] >= 0)
+                if triangle:
+                    # diagonal tile: count each unordered slot pair once
+                    valid &= (iota_lo > jax.lax.broadcasted_iota(
+                        jnp.int32, (LANE, F), 0)) | (jj > i)
                 if exclude_self:
                     valid &= idxr != idxc[None, :]
                 # radix split batched over the whole tile ((LANE, 1)-shaped
                 # ops inside the column loop run at 1/128 lane efficiency,
-                # so hoist everything hoistable); invalid pairs get
-                # radix-hi H_SUB, which selects an all-zero one-hot row
+                # so hoist everything hoistable); invalid pairs get radix-hi
+                # H_SUB, which selects an all-zero one-hot row
                 hi_t = jnp.where(valid, jax.lax.div(b, jnp.int32(F)), H_SUB)
                 lo_t = b - jax.lax.div(b, jnp.int32(F)) * jnp.int32(F)
 
-                # C_GROUP columns per fori iteration, one small MXU dot
-                # each into C_GROUP INDEPENDENT accumulators (no dependency
+                # C_GROUP columns per fori iteration, one small MXU dot each
+                # into C_GROUP INDEPENDENT accumulators (no dependency
                 # chain, so the dots pipeline); a lane roll walks the tile.
                 # fori_loop (not a full static unroll) so Mosaic reuses
                 # scratch buffers.
                 def group_body(g, carry):
                     hi_c, lo_c, accs = carry
                     new_accs = []
-                    for j in range(C_GROUP):
-                        oh_hi = (hi_c[:, j:j + 1] == iota_hi).astype(
+                    for q in range(C_GROUP):
+                        oh_hi = (hi_c[:, q:q + 1] == iota_hi).astype(
                             jnp.bfloat16)
-                        oh_lo = (lo_c[:, j:j + 1] == iota_lo).astype(
+                        oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
                             jnp.bfloat16)
-                        new_accs.append(accs[j] + jax.lax.dot_general(
+                        new_accs.append(accs[q] + jax.lax.dot_general(
                             oh_hi,
                             oh_lo,
                             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -190,17 +243,18 @@ def _kernel(
                 total = accs[0]
                 for a in accs[1:]:
                     total = total + a
-                acc_ref[...] = acc_ref[...] + total
+                row = (ta * n_codes_c + tb) * H_SUB
+                cur = out_ref[pl.ds(row, H_SUB), :]
+                out_ref[pl.ds(row, H_SUB), :] = cur + total
+                return carry_h
 
+            jax.lax.fori_loop(0, bit, _heavy, 0)
             return carry
 
-        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
-        row = ta * n_codes_c + tb
-        cur = out_ref[pl.ds(row, 1), :]
-        out_ref[pl.ds(row, 1), :] = cur + acc_ref[...].reshape(
-            1, H_SUB * F)
+        jax.lax.fori_loop(0, KC, subtile, 0)
+        return carry_g
 
-    pl.run_scoped(with_acc, pltpu.VMEM((H_SUB, F), jnp.float32))
+    jax.lax.fori_loop(0, (word != 0).astype(jnp.int32), _group, 0)
 
 
 def pair_hist_rows_pallas(
@@ -217,6 +271,7 @@ def pair_hist_rows_pallas(
     exclude_self: bool,
     interpret: bool = False,
     idx_c=None,
+    triangle: bool = False,
 ):
     """Pallas implementation of ``pairs.pair_hist_rows`` (f32).
 
@@ -224,58 +279,107 @@ def pair_hist_rows_pallas(
     the kernel in the Pallas interpreter (CPU test path). ``idx_c``
     overrides the column permutation (per-frame spatially-sorted
     layouts); defaults to ``layout_c.perm``.
+
+    ``triangle``: self-case optimization — rows and columns must be the
+    SAME padded set in the SAME order (full rows, not a shard). Each
+    unordered slot pair is counted once and mirrored by the histogram
+    symmetry hist[ta, tb, k] == hist[tb, ta, k] (minimum-image distance
+    is symmetric), halving the pair work. With ``exclude_self=False``
+    the r = 0 self pairs are re-added analytically (count_b at bin 0 of
+    each [tb, tb]).
     """
     n_chunks = pos_r.shape[0]
     n_codes_c = layout_c.n_codes
+    n_tiles = layout_c.n_padded // F
     if n_bins > H_SUB * F:
         raise ValueError(f"n_bins {n_bins} > {H_SUB * F} unsupported")
-    col_blocks = tuple(
-        (tb, int(layout_c.block_start[tb]), int(layout_c.block_size[tb]))
-        for tb in range(n_codes_c)
-        if layout_c.block_size[tb] > 0
-    )
+    if triangle:
+        if n_chunks * LANE != layout_c.n_padded or n_codes_r != n_codes_c:
+            raise ValueError(
+                "triangle mode requires rows == columns (full self case)"
+            )
 
-    rows = jnp.transpose(pos_r.astype(jnp.float32), (0, 2, 1))  # (nc,3,LANE)
-    cols = jnp.transpose(pos_c.astype(jnp.float32), (1, 0))  # (3, Npc)
-    idxr = idx_r.astype(jnp.int32)[:, None, :]  # (nc, 1, LANE)
+    pos_r = pos_r.astype(jnp.float32)
+    pos_c3 = pos_c.astype(jnp.float32).reshape(n_tiles, F, 3)
+    idx_r = idx_r.astype(jnp.int32)
     if idx_c is None:
-        idxc = jnp.asarray(layout_c.perm, jnp.int32)[None, :]
-    else:
-        idxc = jnp.asarray(idx_c, jnp.int32)[None, :]
-    lengths = jnp.asarray(lengths, jnp.float32).reshape(1, 3)
+        idx_c = jnp.asarray(layout_c.perm, jnp.int32)
+    idx_c3 = idx_c.astype(jnp.int32).reshape(n_tiles, F)
+    lengths = jnp.asarray(lengths, jnp.float32)
+    tile_codes_np = np.asarray(layout_c.chunk_codes, np.int32)
+
+    # pad the column tiles to a KC multiple with inert tiles (idx -1,
+    # keep bit 0 via the all-pad guard in _cull_mask_words)
+    pad_tiles = (-n_tiles) % KC
+    if pad_tiles:
+        pos_c3 = jnp.concatenate(
+            [pos_c3, jnp.zeros((pad_tiles, F, 3), pos_c3.dtype)])
+        idx_c3 = jnp.concatenate(
+            [idx_c3, jnp.full((pad_tiles, F), -1, jnp.int32)])
+        tile_codes_np = np.concatenate(
+            [tile_codes_np, np.zeros(pad_tiles, np.int32)])
+    n_tiles_p = n_tiles + pad_tiles
+
+    mask_words = _cull_mask_words(
+        pos_r, idx_r, pos_c3, idx_c3, lengths, float(r_cut), triangle)
+
+    rows = jnp.transpose(pos_r, (0, 2, 1))  # (n_chunks, 3, LANE)
+    idxr = idx_r[:, None, :]  # (n_chunks, 1, LANE)
+    # VMEM-resident column pack (n_groups, 4, KC*F): sublanes x/y/z/idxf;
+    # (n_tiles_p, F) -> (groups, KC*F) keeps tile-major lane order
+    n_groups = n_tiles_p // KC
+    comps = [pos_c3[:, :, c].reshape(n_groups, KC * F) for c in range(3)]
+    comps.append(idx_c3.astype(jnp.float32).reshape(n_groups, KC * F))
+    colpack = jnp.stack(comps, axis=1)  # (n_groups, 4, KC*F)
+    tile_codes = jnp.asarray(tile_codes_np)
 
     kernel = functools.partial(
         _kernel,
-        col_blocks=col_blocks,
         n_codes_c=n_codes_c,
         bin_size=float(bin_size),
         n_bins=int(n_bins),
         r_cut=float(r_cut),
         exclude_self=bool(exclude_self),
+        triangle=bool(triangle),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        num_scalar_prefetch=3,
+        grid=(n_chunks, n_groups),
         in_specs=[
-            pl.BlockSpec((1, 3, LANE), lambda i, s: (i, 0, 0),
+            pl.BlockSpec((1, 3, LANE), lambda i, j, *s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANE), lambda i, s: (i, 0, 0),
+            pl.BlockSpec((1, 1, LANE), lambda i, j, *s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # whole column pack resident in VMEM (constant index -> one
+            # DMA for the entire grid)
+            pl.BlockSpec((n_groups, 4, KC * F), lambda i, j, *s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (n_codes_r * n_codes_c, H_SUB * F), lambda i, s: (0, 0),
+            (n_codes_r * n_codes_c * H_SUB, F), lambda i, j, *s: (0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (n_codes_r * n_codes_c, H_SUB * F), jnp.float32
+            (n_codes_r * n_codes_c * H_SUB, F), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(chunk_codes.astype(jnp.int32), rows, idxr, cols, idxc, lengths)
-    return out.reshape(n_codes_r, n_codes_c, H_SUB * F)[:, :, :n_bins]
+    )(chunk_codes.astype(jnp.int32), tile_codes, mask_words,
+      rows, idxr, colpack, lengths.reshape(1, 3))
+    # (ncr*ncc*H_SUB, F) -> (ncr, ncc, H_SUB*F): sublane-major unflatten
+    out = out.reshape(n_codes_r, n_codes_c, H_SUB * F)[:, :, :n_bins]
+    if triangle:
+        out = out + jnp.transpose(out, (1, 0, 2))
+        if not exclude_self:
+            # r = 0 self pairs (dropped by the strictly-upper mask):
+            # one per real atom, bin 0 of [tb, tb]
+            self_counts = jnp.zeros(
+                (n_codes_c, n_codes_c), jnp.float32
+            ).at[jnp.arange(n_codes_c), jnp.arange(n_codes_c)].set(
+                jnp.asarray(layout_c.counts, jnp.float32))
+            out = out.at[:, :, 0].add(self_counts)
+    return out

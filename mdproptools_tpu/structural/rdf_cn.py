@@ -132,8 +132,7 @@ def _save_cn(relation_matrix, path_or_buff, cn, save_mode):
 # --------------------------------------------------------------------------
 # device frame loop
 # --------------------------------------------------------------------------
-def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None,
-                     perms=None):
+def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None):
     """Mean over frames of ``step_fn(pos_t, pos_cols_t, L_t)`` computed as
     an on-device running sum (``lax.scan`` over fixed-size frame blocks,
     tail padded with zero weight), fetched once per block, divided by the
@@ -144,14 +143,13 @@ def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None,
     acc_dtype = jnp.float32 if dtype == jnp.float32 else dtype
 
     @jax.jit
-    def run_block(pos_b, pos_cols_b, lengths_b, perms_b):
+    def run_block(pos_b, pos_cols_b, lengths_b):
         def step(acc, xs):
-            p, pc, L, pm = xs
-            return acc + step_fn(p, pc, L, pm).astype(acc.dtype), None
+            p, pc, L = xs
+            return acc + step_fn(p, pc, L).astype(acc.dtype), None
 
         acc0 = jnp.zeros(out_shape, acc_dtype)
-        acc, _ = jax.lax.scan(step, acc0,
-                              (pos_b, pos_cols_b, lengths_b, perms_b))
+        acc, _ = jax.lax.scan(step, acc0, (pos_b, pos_cols_b, lengths_b))
         return acc
 
     # exact-size blocks (no padding: a padded frame would still run the
@@ -163,11 +161,8 @@ def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None,
         with stage("frame_block", start=s, frames=e - s):
             pos_b = jnp.asarray(pos[s:e], dtype)
             pc_b = pos_b if same else jnp.asarray(pos_cols[s:e], dtype)
-            pm_b = (jnp.zeros((e - s, 1), jnp.int32) if perms is None
-                    else jnp.asarray(perms[s:e], jnp.int32))
             total += np.asarray(
-                run_block(pos_b, pc_b, jnp.asarray(lengths[s:e], dtype),
-                          pm_b),
+                run_block(pos_b, pc_b, jnp.asarray(lengths[s:e], dtype)),
                 np.float64,
             )
     return total / T
@@ -176,13 +171,20 @@ def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None,
 def _rdf_mean(
     pos, codes, n_codes, lengths, bin_size, n_bins, r_cut, relation_matrix,
     code_counts_rows, code_counts_cols, exclude_self, with_full, dtype,
-    pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort=False,
+    pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort="auto",
 ):
     """Frame-averaged normalized RDF: returns (g_full or None, g_part).
 
     Per-frame normalization happens inside the device scan with the
     reference's exact operation order: rho_b = count_b / V first, then
     counts / (N_a * rho_b * Vshell) (``rdf_cn.py:288-329``).
+
+    Fast-path structure for the self (atom-atom / COM-COM) case on TPU:
+    per frame, an on-device Morton sort makes 128-atom tiles spatially
+    compact (so the Pallas kernel's tile cull skips far tile pairs), and
+    triangle mode computes each off-diagonal tile pair once, mirroring by
+    hist[ta, tb] == hist[tb, ta]. Both are exact-count-preserving — the
+    results are bit-identical to the dense unsorted path.
     """
     layout_r = pair_ops.build_type_layout(codes, n_codes)
     layout_c = (
@@ -193,21 +195,34 @@ def _rdf_mean(
     shell = _shell_volumes(bin_size, n_bins)
     R = relation_matrix.shape[0]
     n_rows_total = int(code_counts_rows.sum())
+    self_case = pos_cols is None
 
-    # per-frame spatially-sorted permutations (tile-cull support in the
-    # Pallas kernel; only meaningful for the self-pair atom-atom case)
-    perms = None
-    if spatial_sort and pos_cols is None:
-        perms = np.stack([
-            pair_ops.spatial_sort_perm(pos[t], layout_r, lengths[t])
-            for t in range(pos.shape[0])
-        ]).astype(np.int32)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    use_pallas = on_tpu and dtype == jnp.float32 and n_bins <= 1024
+    method = ("pallas" if use_pallas
+              else "onehot" if on_tpu and dtype == jnp.float32
+              else "scatter")
+    triangle = use_pallas and self_case
+    if spatial_sort == "auto":
+        # sort pays when the tile cull can actually skip tiles: kept
+        # fraction ~ sphere(r_cut + 2 * tile_radius) / box volume
+        n_atoms = int(code_counts_rows.sum())
+        v_min = float(np.prod(lengths, axis=1).min())
+        rho = max(n_atoms / v_min, 1e-30)
+        rad = 0.5 * np.sqrt(3.0) * (pair_ops.LANE / rho) ** (1.0 / 3.0)
+        kept = 4.0 / 3.0 * np.pi * (r_cut + 2.0 * rad) ** 3 / v_min
+        sort_on = self_case and use_pallas and kept < 0.85
+    else:
+        sort_on = bool(spatial_sort) and self_case
+    ncell = pair_ops.pick_ncell(n_rows_total)
 
-    def step(p, pc, L, pm):
+    def step(p, pc, L):
         sdtype = p.dtype
         shell_d = jnp.asarray(shell, sdtype)
-        if perms is not None:
-            pr = pair_ops.gather_padded_perm(p, pm)
+        if self_case:
+            pm = (pair_ops.device_sort_perm(p, layout_r, L, ncell)
+                  if sort_on else jnp.asarray(layout_r.perm, jnp.int32))
+            pr = pair_ops.gather_padded_perm(p, pm).astype(sdtype)
             nc = layout_r.n_padded // pair_ops.LANE
             hist = pair_ops.pair_hist_rows(
                 pr.reshape(nc, pair_ops.LANE, 3),
@@ -216,14 +231,14 @@ def _rdf_mean(
                 pr, layout_r, n_codes_r=layout_r.n_codes, lengths=L,
                 bin_size=bin_size, n_bins=n_bins, r_cut=r_cut,
                 exclude_self=exclude_self, dtype=sdtype, idx_c=pm,
+                method=method, triangle=triangle,
             ).astype(sdtype)
         else:
             pr = pair_ops.gather_padded(p, layout_r)
-            pcc = (pr if pos_cols is None
-                   else pair_ops.gather_padded(pc, layout_c))
+            pcc = pair_ops.gather_padded(pc, layout_c)
             hist = pair_ops.pair_hist(
                 pr, pcc, layout_r, layout_c, L, bin_size, n_bins, r_cut,
-                exclude_self, dtype=sdtype,
+                exclude_self, dtype=sdtype, method=method,
             ).astype(sdtype)
         # reference-exact per-frame normalization (rho_b = count_b / V
         # first, then counts / (N_a * rho_b * Vshell)) shared by both paths
@@ -241,7 +256,7 @@ def _rdf_mean(
 
     nrows = R + (1 if with_full else 0)
     out = _scan_frame_mean(step, (nrows, n_bins), pos, lengths, dtype,
-                           pos_cols=pos_cols, perms=perms)
+                           pos_cols=pos_cols)
     if with_full:
         return out[0], out[1:]
     return None, out
@@ -265,7 +280,7 @@ def _cn_mean(
         np.float64,
     )
 
-    def step(p, pc, L, pm):
+    def step(p, pc, L):
         sdtype = p.dtype
         pr = pair_ops.gather_padded(p, layout_r)
         pcc = pr if pos_cols is None else pair_ops.gather_padded(pc, layout_c)
@@ -310,15 +325,17 @@ def calc_atomic_rdf(
     path_or_buff="rdf.csv",
     save_mode=True,
     precision="fast",
-    spatial_sort=False,
+    spatial_sort="auto",
 ):
     """Full and partial atom-atom RDF averaged over all frames matching
     ``filename`` (reference: ``rdf_cn.py:385-530``).
 
-    ``spatial_sort=True`` re-orders atoms spatially per frame so the
-    Pallas kernel's tile cull can skip far tile pairs — worthwhile when
-    the box is much larger than r_cut (large-N systems); identical
-    results either way."""
+    ``spatial_sort``: "auto" (default) re-orders atoms spatially per
+    frame on device whenever the box is large enough relative to r_cut
+    for the Pallas kernel's tile cull to skip far tile pairs (the
+    O(N^2) -> O(N * n_near) lever for large systems); True/False force
+    it. Results are bit-identical either way (integer counts, order-
+    independent)."""
     dtype = resolve_dtype(precision)
     traj = _load(filename)
     codes, n_codes, _ = _atom_codes(traj, num_types, num_mols, num_atoms_per_mol)

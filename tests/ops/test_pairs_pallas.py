@@ -32,6 +32,64 @@ def test_pallas_matches_scatter(exclude_self):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("exclude_self", [True, False])
+def test_pallas_triangle_matches_scatter(exclude_self):
+    """Triangle mode (upper tiles computed once + mirrored) must be
+    count-exact vs the dense scatter path."""
+    rng = np.random.default_rng(11)
+    n, box = 700, 14.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    pp = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    L = jnp.asarray([box] * 3, jnp.float32)
+    nc = lay.n_padded // pair_ops.LANE
+    got = np.asarray(pair_hist_rows_pallas(
+        pp.reshape(nc, pair_ops.LANE, 3),
+        jnp.asarray(lay.perm).reshape(nc, pair_ops.LANE).astype(jnp.int32),
+        jnp.asarray(lay.chunk_codes, jnp.int32),
+        pp, lay, 3, L, 0.1, 128, 6.0, exclude_self, interpret=True,
+        triangle=True,
+    ))
+    want = np.asarray(pair_ops.pair_hist(
+        pp, pp, lay, lay, L, 0.1, 128, 6.0, exclude_self,
+        dtype=jnp.float32, method="scatter",
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_triangle_device_sort_matches_scatter():
+    """Triangle + on-device Morton sort (the default TPU fast path
+    composition) must be count-exact vs the dense unsorted scatter path."""
+    rng = np.random.default_rng(13)
+    n, box = 520, 30.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    L = jnp.asarray([box] * 3, jnp.float32)
+    perm = pair_ops.device_sort_perm(
+        jnp.asarray(pos), lay, L, pair_ops.pick_ncell(n))
+    perm_np = np.asarray(perm)
+    for t in range(3):
+        s, c = lay.block_start[t], lay.counts[t]
+        assert sorted(perm_np[s:s+c]) == sorted(lay.perm[s:s+c])
+    pp = pair_ops.gather_padded_perm(jnp.asarray(pos), perm)
+    nc = lay.n_padded // pair_ops.LANE
+    got = np.asarray(pair_hist_rows_pallas(
+        pp.reshape(nc, pair_ops.LANE, 3),
+        perm.reshape(nc, pair_ops.LANE).astype(jnp.int32),
+        jnp.asarray(lay.chunk_codes, jnp.int32),
+        pp, lay, 3, L, 0.05, 200, 8.0, True, interpret=True,
+        idx_c=perm, triangle=True,
+    ))
+    pp0 = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    want = np.asarray(pair_ops.pair_hist(
+        pp0, pp0, lay, lay, L, 0.05, 200, 8.0, True,
+        dtype=jnp.float32, method="scatter",
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_spatial_sort_matches_scatter():
     """Spatially-sorted per-frame permutation + culling must not change
     results (cull is conservative)."""

@@ -147,7 +147,7 @@ def pick_ncell(n_atoms: int) -> int:
 
 def device_sort_perm(pos, layout: TypeLayout, lengths, ncell: int = 16):
     """On-device per-frame spatially-sorted permutation: within each type
-    block, atoms are reordered by Morton (Z-curve) cell index so
+    block, atoms are reordered by Hilbert cell index so
     consecutive 128-atom tiles are spatially compact and the Pallas
     kernel's center/radius tile cull can skip far tile pairs — the
     O(N^2) -> O(N * n_near) lever for boxes much larger than r_cut.
@@ -161,7 +161,7 @@ def device_sort_perm(pos, layout: TypeLayout, lengths, ncell: int = 16):
     bits = max(int(ncell - 1).bit_length(), 1)
     frac = pos[:, :3] / lengths[None, :3]
     cell = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
-    code = _morton3(cell, bits)
+    code = _hilbert3(cell, bits)
     pad_key = jnp.int32(1 << 30)  # pads sort to the end of their block
     parts = []
     for c in range(layout.n_codes):
@@ -430,3 +430,65 @@ def shell_mask(pos_a, pos_b, lengths, r_in, r_out):
     d = minimum_image(pos_a[:, None, :] - pos_b[None, :, :], lengths)
     rsq = jnp.sum(d * d, axis=-1)
     return (rsq > r_in * r_in) & (rsq <= r_out * r_out)
+
+
+def device_sort_global(pos, n_atoms: int, n_padded: int, lengths,
+                       ncell: int = 16):
+    """On-device GLOBAL Morton-sorted padded permutation (no type
+    blocks): returns (n_padded,) int32, pad slots -1. Mixed-type tiles
+    keep full density, so 128-atom Hilbert tiles are spatially compact
+    (radius ~ 1.15 * (128/rho)^(1/3)) regardless of species imbalance —
+    per-type blocks give minority species box-sized tiles that defeat
+    the cull entirely."""
+    bits = max(int(ncell - 1).bit_length(), 1)
+    frac = pos[:, :3] / lengths[None, :3]
+    cell = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
+    code = _hilbert3(cell, bits)
+    pad_key = jnp.int32(1 << 30)
+    keys = jnp.concatenate(
+        [code, jnp.full((n_padded - n_atoms,), pad_key, jnp.int32)])
+    order = jnp.argsort(keys).astype(jnp.int32)
+    return jnp.where(order < n_atoms, order, -1)
+
+
+def project_relations(hist, relations, with_full: bool):
+    """Project a (n_codes_r, n_codes_c, n_bins) ordered-pair histogram
+    onto (full, (R, n_bins)) rows — the scatter-path oracle for the
+    relation-projected Pallas kernel. ``relations`` is (R, 2) 1-based."""
+    rels = jnp.stack([hist[int(a) - 1, int(b) - 1] for a, b in relations])
+    full = hist.sum(axis=(0, 1)) if with_full else None
+    return full, rels
+
+
+def _hilbert3(cell, bits):
+    """Vectorized 3-D Hilbert index (Skilling's transpose algorithm) of
+    (N, 3) int32 cell coords with ``bits`` bits per axis. Consecutive
+    Hilbert cells are always face-adjacent, so equal-count tiles cut
+    from the curve are markedly more compact than Morton/Z-order tiles
+    (Z-curve octant jumps fatten tiles ~1.6x -> ~1.0x of the ideal
+    cube radius), which directly tightens the pair-kernel tile cull."""
+    X = [cell[:, 0], cell[:, 1], cell[:, 2]]
+    M = jnp.int32(1 << (bits - 1))
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = jnp.int32(Q - 1)
+        for i in range(3):
+            cond = (X[i] & Q) != 0
+            t = jnp.where(cond, 0, (X[0] ^ X[i]) & P)
+            X[0] = jnp.where(cond, X[0] ^ P, X[0]) ^ t
+            if i:
+                X[i] = X[i] ^ t
+        Q >>= 1
+    X[1] = X[1] ^ X[0]
+    X[2] = X[2] ^ X[1]
+    t = jnp.zeros_like(X[0])
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        t = jnp.where((X[2] & Q) != 0, t ^ jnp.int32(Q - 1), t)
+        Q >>= 1
+    X = [x ^ t for x in X]
+    idx = jnp.zeros_like(X[0])
+    for b in range(bits):
+        for i in range(3):
+            idx = idx | (((X[i] >> b) & 1) << (3 * b + (2 - i)))
+    return idx

@@ -68,7 +68,7 @@ from mdproptools_tpu.ops.pbc import minimum_image
 F = 128  # radix-lo width == lane width == column tile width
 H_SUB = 8  # sublane-padded radix-hi size (supports n_bins <= 1024)
 C_GROUP = 64  # independent column dots per fori iteration
-KC = 8  # column tiles per grid program (fixed ~4.5 us/program dispatch
+KC = 32  # column tiles per grid program (fixed ~4.5 us/program dispatch
 #         overhead measured on v5e — amortize it over KC tiles; each
 #         subtile keeps its own cull bit and skip branch)
 CULL_MARGIN = 0.1  # Angstrom slack absorbing f32 rounding in the mask
@@ -88,7 +88,8 @@ def _tile_geometry(p, idx, lengths):
     return c, jnp.sqrt(rad2)
 
 
-def _cull_mask_words(pos_r, idx_r, pos_c3, idx_c3, lengths, r_cut, triangle):
+def _cull_mask_words(pos_r, idx_r, pos_c3, idx_c3, lengths, r_cut, triangle,
+                     kc=None):
     """Bit-packed conservative keep mask: word [i, g] bit k covers
     (row chunk i, column tile g * KC + k) — one word per grid program,
     so an all-culled program skips with a single scalar load + branch
@@ -109,8 +110,9 @@ def _cull_mask_words(pos_r, idx_r, pos_c3, idx_c3, lengths, r_cut, triangle):
     if triangle:
         keep &= (jnp.arange(n_tiles)[None, :]
                  >= jnp.arange(n_chunks)[:, None])
-    bits = keep.reshape(n_chunks, n_tiles // KC, KC).astype(jnp.int32)
-    weights = jnp.int32(1) << jnp.arange(KC, dtype=jnp.int32)
+    kc = KC if kc is None else kc
+    bits = keep.reshape(n_chunks, n_tiles // kc, kc).astype(jnp.int32)
+    weights = jnp.int32(1) << jnp.arange(kc, dtype=jnp.int32)
     return (bits * weights[None, None, :]).sum(axis=2, dtype=jnp.int32)
 
 
@@ -383,3 +385,312 @@ def pair_hist_rows_pallas(
                 jnp.asarray(layout_c.counts, jnp.float32))
             out = out.at[:, :, 0].add(self_counts)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Relation-projected kernel on MIXED-TYPE tiles (the TPU fast path)
+# ---------------------------------------------------------------------------
+# Per-type blocks (TypeLayout) give minority species box-sized tiles
+# (median tile radius 25 A on the bundled system tiled to 42k atoms), so
+# the cull keeps ~96% of tile pairs at r_cut=20 — useless. This kernel
+# instead takes atoms in ONE global Morton order (mixed types, radius
+# ~ (128/rho)^(1/3) ~ 7 A) and projects the histogram onto exactly the
+# rows the RDF needs — [full?] + one row per partial relation — via a
+# single fused multi-hot one-hot dot per column:
+#
+#   row blocks of HB = ceil(n_bins/F) sublanes each:
+#     block 0 = full histogram, block 1+r = relation r, + 1 trash row;
+#   per pair: joint_full = hi (or trash), joint_rel = (1+rel)*HB + hi
+#   where rel is the unique matching relation (relations are distinct
+#   (a, b) pairs, so masks are exclusive); triangle mode adds the
+#   mirrored-orientation insert (1+rel(tb, ta))*HB + hi. The lhs of the
+#   dot is the SUM of these one-hots (values 0..3, exact in bf16).
+
+KC_REL = 32  # column tiles per grid program (relation kernel)
+C_GROUP_REL = 16  # independent column dots per roll step
+
+
+def _rel_kernel(
+    mask_ref,  # (n_chunks, n_groups) i32 keep bits (scalar prefetch)
+    rows_ref,  # (1, 5, LANE) f32: x/y/z/idxf/typef
+    colpack_ref,  # (n_groups, 5, KC_REL * F) f32, VMEM-resident
+    len_ref,  # (1, 3) f32 (SMEM)
+    out_ref,  # (M_pad, F) f32 persistent
+    *,
+    relations,  # static tuple of 0-based (a, b)
+    hb,  # ceil(n_bins / F)
+    m_pad,
+    bin_size,
+    n_bins,
+    r_cut,
+    exclude_self,
+    with_full,
+    triangle,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_rel = len(relations)
+    trash = jnp.int32((1 + n_rel) * hb)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    word = mask_ref[i, j]
+
+    def _group(_g, carry_g):
+        lx = len_ref[0, 0]
+        ly = len_ref[0, 1]
+        lz = len_ref[0, 2]
+        xr = rows_ref[0, 0, :].reshape(1, LANE).T  # (LANE, 1)
+        yr = rows_ref[0, 1, :].reshape(1, LANE).T
+        zr = rows_ref[0, 2, :].reshape(1, LANE).T
+        idxr = rows_ref[0, 3, :].reshape(1, LANE).T
+        tyr = rows_ref[0, 4, :].reshape(1, LANE).T
+        rc2 = jnp.float32(r_cut * r_cut)
+        inv_ddr = jnp.float32(1.0 / bin_size)
+
+        def wrap(d, L):
+            half = L * jnp.float32(0.5)
+            return jnp.where(d > half, d - L,
+                             jnp.where(d < -half, d + L, d))
+
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 1)
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (LANE, m_pad), 1)
+
+        def subtile(k, carry):
+            jj = j * KC_REL + k
+            bit = jax.lax.shift_right_logical(
+                word, k.astype(jnp.int32)) & jnp.int32(1)
+
+            def _heavy(_h, carry_h):
+                off = pl.multiple_of(k * F, F)
+                xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
+                yc = colpack_ref[j, 1, pl.ds(off, F)]
+                zc = colpack_ref[j, 2, pl.ds(off, F)]
+                idxc = colpack_ref[j, 3, pl.ds(off, F)]
+                tyc = colpack_ref[j, 4, pl.ds(off, F)]
+
+                dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
+                dy = wrap(yr - yc[None, :], ly)
+                dz = wrap(zr - zc[None, :], lz)
+                rsq = dx * dx + dy * dy + dz * dz
+                b = (jnp.sqrt(rsq) * inv_ddr).astype(jnp.int32)
+                valid = (rsq < rc2) & (b < n_bins)
+                valid &= (idxr >= 0) & (idxc[None, :] >= 0)
+                if triangle:
+                    valid &= (iota_lo > jax.lax.broadcasted_iota(
+                        jnp.int32, (LANE, F), 0)) | (jj > i)
+                if exclude_self:
+                    valid &= idxr != idxc[None, :]
+
+                hi = jax.lax.div(b, jnp.int32(F))
+                lo_t = b - hi * jnp.int32(F)
+                # exclusive relation match -> joint row blocks (types are
+                # small ints stored exactly in f32)
+                relb = jnp.zeros((LANE, F), jnp.int32)
+                relb_m = jnp.zeros((LANE, F), jnp.int32) if triangle else None
+                for r, (a_r, b_r) in enumerate(relations):
+                    m_r = ((tyr == jnp.float32(a_r))
+                           & (tyc[None, :] == jnp.float32(b_r)))
+                    relb = relb + jnp.int32(r + 1) * m_r.astype(jnp.int32)
+                    if triangle:
+                        m_m = ((tyr == jnp.float32(b_r))
+                               & (tyc[None, :] == jnp.float32(a_r)))
+                        relb_m = relb_m + jnp.int32(r + 1) * m_m.astype(
+                            jnp.int32)
+                j1_t = jnp.where(valid & (relb > 0),
+                                 relb * jnp.int32(hb) + hi, trash)
+                if triangle:
+                    j2_t = jnp.where(valid & (relb_m > 0),
+                                     relb_m * jnp.int32(hb) + hi, trash)
+                if with_full:
+                    jf_t = jnp.where(valid, hi, trash)
+
+                def group_body(g, carry2):
+                    arrs, accs = carry2
+                    lo_c = arrs[0]
+                    new_accs = []
+                    for q in range(C_GROUP_REL):
+                        oh = (arrs[1][:, q:q + 1] == iota_m).astype(
+                            jnp.bfloat16)
+                        for extra in arrs[2:]:
+                            oh = oh + (extra[:, q:q + 1] == iota_m).astype(
+                                jnp.bfloat16)
+                        oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
+                            jnp.bfloat16)
+                        new_accs.append(accs[q] + jax.lax.dot_general(
+                            oh, oh_lo,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))  # (m_pad, F)
+                    rolled = tuple(
+                        pltpu.roll(a, F - C_GROUP_REL, 1) for a in arrs)
+                    return (rolled, tuple(new_accs))
+
+                arrs = [lo_t, j1_t]
+                if triangle:
+                    arrs.append(j2_t)
+                if with_full:
+                    arrs.append(jf_t)
+                accs0 = tuple(
+                    jnp.zeros((m_pad, F), jnp.float32)
+                    for _ in range(C_GROUP_REL)
+                )
+                (_, accs) = jax.lax.fori_loop(
+                    0, F // C_GROUP_REL, group_body, (tuple(arrs), accs0)
+                )
+                total = accs[0]
+                for a in accs[1:]:
+                    total = total + a
+                out_ref[...] = out_ref[...] + total
+                return carry_h
+
+            jax.lax.fori_loop(0, bit, _heavy, 0)
+            return carry
+
+        jax.lax.fori_loop(0, KC_REL, subtile, 0)
+        return carry_g
+
+    jax.lax.fori_loop(0, (word != 0).astype(jnp.int32), _group, 0)
+
+
+def pair_hist_relations_pallas(
+    pos_r,  # (n_pad_r, 3) row positions, any (e.g. Morton) padded order
+    idx_r,  # (n_pad_r,) original indices, -1 = pad
+    types_r,  # (n_pad_r,) 0-based type codes (value at pads ignored)
+    pos_c,  # (n_pad_c, 3) columns (same arrays as rows in the self case)
+    idx_c,
+    types_c,
+    relations,  # (R, 2) 0-based host ints (distinct (a, b) pairs)
+    lengths,
+    bin_size: float,
+    n_bins: int,
+    r_cut: float,
+    exclude_self: bool,
+    with_full: bool,
+    triangle: bool = False,
+    interpret: bool = False,
+    counts_r=None,  # (n_types_r,) true atom counts (self-pair re-add)
+):
+    """Relation-projected ordered-pair histogram on mixed-type tiles.
+
+    Returns (full (n_bins,) or None, rels (R, n_bins)) float32 — exactly
+    ``pairs.project_relations`` of the dense ordered-pair histogram.
+    ``triangle`` requires rows == columns and inserts both orientations
+    per unordered pair; the full row is doubled and r = 0 self pairs are
+    re-added analytically afterwards (needs ``counts_r`` when
+    exclude_self=False).
+    """
+    relations = [(int(a), int(b)) for a, b in np.asarray(relations)]
+    if len(set(relations)) != len(relations):
+        raise ValueError("relations must be distinct (a, b) pairs")
+    n_pad_r, n_pad_c = pos_r.shape[0], pos_c.shape[0]
+    if n_pad_r % LANE or n_pad_c % F:
+        raise ValueError("padded sizes must be LANE multiples")
+    n_chunks = n_pad_r // LANE
+    n_tiles = n_pad_c // F
+    hb = -(-n_bins // F)
+    n_rel = len(relations)
+    m = (1 + n_rel) * hb + 1
+    m_pad = -(-m // 8) * 8
+    if triangle and (n_pad_r != n_pad_c):
+        raise ValueError("triangle mode requires rows == columns")
+
+    f32 = jnp.float32
+    pos_r = pos_r.astype(f32)
+    pos_c = pos_c.astype(f32)
+    idx_r = jnp.asarray(idx_r, jnp.int32)
+    idx_c = jnp.asarray(idx_c, jnp.int32)
+    lengths = jnp.asarray(lengths, f32)
+
+    pad_tiles = (-n_tiles) % KC_REL
+    pos_c3 = pos_c.reshape(n_tiles, F, 3)
+    idx_c3 = idx_c.reshape(n_tiles, F)
+    tyc = jnp.asarray(types_c, f32).reshape(n_tiles, F)
+    if pad_tiles:
+        pos_c3 = jnp.concatenate(
+            [pos_c3, jnp.zeros((pad_tiles, F, 3), f32)])
+        idx_c3 = jnp.concatenate(
+            [idx_c3, jnp.full((pad_tiles, F), -1, jnp.int32)])
+        tyc = jnp.concatenate([tyc, jnp.full((pad_tiles, F), -1.0, f32)])
+    n_tiles_p = n_tiles + pad_tiles
+    n_groups = n_tiles_p // KC_REL
+
+    # global KC word packing must match the triangle row/tile indexing
+    mask_words = _cull_mask_words(
+        pos_r.reshape(n_chunks, LANE, 3), idx_r.reshape(n_chunks, LANE),
+        pos_c3, idx_c3, lengths, float(r_cut), triangle, kc=KC_REL)
+
+    rowpack = jnp.stack([
+        pos_r[:, 0].reshape(n_chunks, LANE),
+        pos_r[:, 1].reshape(n_chunks, LANE),
+        pos_r[:, 2].reshape(n_chunks, LANE),
+        idx_r.astype(f32).reshape(n_chunks, LANE),
+        jnp.asarray(types_r, f32).reshape(n_chunks, LANE),
+    ], axis=1)  # (n_chunks, 5, LANE)
+    colpack = jnp.stack([
+        pos_c3[:, :, 0].reshape(n_groups, KC_REL * F),
+        pos_c3[:, :, 1].reshape(n_groups, KC_REL * F),
+        pos_c3[:, :, 2].reshape(n_groups, KC_REL * F),
+        idx_c3.astype(f32).reshape(n_groups, KC_REL * F),
+        tyc.reshape(n_groups, KC_REL * F),
+    ], axis=1)  # (n_groups, 5, KC_REL*F)
+
+    kernel = functools.partial(
+        _rel_kernel,
+        relations=tuple(relations),
+        hb=int(hb),
+        m_pad=int(m_pad),
+        bin_size=float(bin_size),
+        n_bins=int(n_bins),
+        r_cut=float(r_cut),
+        exclude_self=bool(exclude_self),
+        with_full=bool(with_full),
+        triangle=bool(triangle),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, 5, LANE), lambda i, j, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, 5, KC_REL * F),
+                         lambda i, j, *s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, F), lambda i, j, *s: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m_pad, F), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(mask_words, rowpack, colpack, lengths.reshape(1, 3))
+
+    def block(blk):
+        return out[blk * hb:(blk + 1) * hb].reshape(hb * F)[:n_bins]
+
+    full = block(0) if with_full else None
+    rels = jnp.stack([block(1 + r) for r in range(n_rel)]) \
+        if n_rel else jnp.zeros((0, n_bins), jnp.float32)
+    if triangle:
+        if full is not None:
+            full = full * 2.0
+        if not exclude_self:
+            # r = 0 ordered self pairs, dropped by the strictly-upper mask
+            if counts_r is None:
+                raise ValueError(
+                    "counts_r required for triangle + exclude_self=False")
+            counts_r = np.asarray(counts_r, np.float64)
+            n_real = float(counts_r.sum())
+            if full is not None:
+                full = full.at[0].add(jnp.float32(n_real))
+            adds = np.zeros(n_rel, np.float32)
+            for r, (a_r, b_r) in enumerate(relations):
+                if a_r == b_r:
+                    adds[r] = counts_r[a_r]
+            rels = rels.at[:, 0].add(jnp.asarray(adds))
+    return full, rels

@@ -203,23 +203,65 @@ def _rdf_mean(
               else "onehot" if on_tpu and dtype == jnp.float32
               else "scatter")
     triangle = use_pallas and self_case
+    # estimated kept tile-pair fraction under a global Hilbert sort:
+    # 128-atom Hilbert tiles measure ~1.15 * (LANE/rho)^(1/3) in radius
+    # (empirical on the bundled system; Morton/Z-order was ~1.6x)
+    n_atoms = int(code_counts_rows.sum())
+    v_min = float(np.prod(lengths, axis=1).min())
+    rho = max(n_atoms / v_min, 1e-30)
+    rad = 1.15 * (pair_ops.LANE / rho) ** (1.0 / 3.0)
+    kept_est = 4.0 / 3.0 * np.pi * (r_cut + 2.0 * rad) ** 3 / v_min
     if spatial_sort == "auto":
-        # sort pays when the tile cull can actually skip tiles: kept
-        # fraction ~ sphere(r_cut + 2 * tile_radius) / box volume
-        n_atoms = int(code_counts_rows.sum())
-        v_min = float(np.prod(lengths, axis=1).min())
-        rho = max(n_atoms / v_min, 1e-30)
-        rad = 0.5 * np.sqrt(3.0) * (pair_ops.LANE / rho) ** (1.0 / 3.0)
-        kept = 4.0 / 3.0 * np.pi * (r_cut + 2.0 * rad) ** 3 / v_min
-        sort_on = self_case and use_pallas and kept < 0.85
+        sort_on = use_pallas and kept_est < 0.85
     else:
-        sort_on = bool(spatial_sort) and self_case
+        sort_on = bool(spatial_sort)
+    # the relation-projected mixed-tile kernel costs ~1.6x per pair but
+    # its compact Hilbert tiles let the cull skip (1 - kept) of the
+    # work; the dense type-block kernel barely culls (minority-species
+    # tiles are box-sized). Measured on v5e: type-block wins at
+    # kept_est 0.87 (42k atoms, 542 vs ~700 ms/frame) AND at 0.29
+    # (126k, 6.9 vs 8.8 s) — per-tile control-flow overhead (~2.3 us
+    # per gated subtile iteration on this backend) eats most of the
+    # cull's win, so the crossover sits far lower than pair-math
+    # alone predicts. Engage only when the cull is overwhelming.
+    distinct_rels = (len({(int(a), int(b)) for a, b in relation_matrix})
+                     == relation_matrix.shape[0])
+    use_rel = use_pallas and distinct_rels and sort_on and kept_est < 0.15
     ncell = pair_ops.pick_ncell(n_rows_total)
+    n_pad_r = -(-pos.shape[1] // pair_ops.LANE) * pair_ops.LANE
+    codes0_r = jnp.asarray(np.asarray(codes) - 1, jnp.float32)
+    if not self_case:
+        n_pad_c = -(-pos_cols.shape[1] // pair_ops.LANE) * pair_ops.LANE
+        codes0_c = jnp.asarray(np.asarray(codes_cols) - 1, jnp.float32)
+    relations0 = np.asarray(relation_matrix, np.int64) - 1
+
+    def _sorted_side(p, L, n_atoms_side, n_pad, codes0):
+        pm = pair_ops.device_sort_global(p, n_atoms_side, n_pad, L, ncell)
+        pr = pair_ops.gather_padded_perm(p, pm)
+        ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
+        return pr, pm, ty
 
     def step(p, pc, L):
         sdtype = p.dtype
         shell_d = jnp.asarray(shell, sdtype)
-        if self_case:
+        if use_rel:
+            pr, pm, ty = _sorted_side(p.astype(jnp.float32), L,
+                                      p.shape[0], n_pad_r, codes0_r)
+            if self_case:
+                pc3, pmc, tyc = pr, pm, ty
+            else:
+                pc3, pmc, tyc = _sorted_side(pc.astype(jnp.float32), L,
+                                             pc.shape[0], n_pad_c, codes0_c)
+            from mdproptools_tpu.ops.pairs_pallas import (
+                pair_hist_relations_pallas,
+            )
+            full, rels = pair_hist_relations_pallas(
+                pr, pm, ty, pc3, pmc, tyc, relations0, L, bin_size,
+                n_bins, r_cut, exclude_self=exclude_self,
+                with_full=with_full, triangle=triangle,
+                counts_r=code_counts_rows,
+            )
+        elif self_case:
             pm = (pair_ops.device_sort_perm(p, layout_r, L, ncell)
                   if sort_on else jnp.asarray(layout_r.perm, jnp.int32))
             pr = pair_ops.gather_padded_perm(p, pm).astype(sdtype)
@@ -233,6 +275,8 @@ def _rdf_mean(
                 exclude_self=exclude_self, dtype=sdtype, idx_c=pm,
                 method=method, triangle=triangle,
             ).astype(sdtype)
+            full, rels = pair_ops.project_relations(
+                hist, relation_matrix, with_full)
         else:
             pr = pair_ops.gather_padded(p, layout_r)
             pcc = pair_ops.gather_padded(pc, layout_c)
@@ -240,18 +284,21 @@ def _rdf_mean(
                 pr, pcc, layout_r, layout_c, L, bin_size, n_bins, r_cut,
                 exclude_self, dtype=sdtype, method=method,
             ).astype(sdtype)
+            full, rels = pair_ops.project_relations(
+                hist, relation_matrix, with_full)
         # reference-exact per-frame normalization (rho_b = count_b / V
-        # first, then counts / (N_a * rho_b * Vshell)) shared by both paths
+        # first, then counts / (N_a * rho_b * Vshell)) shared by all paths
         V = L[0] * L[1] * L[2]
         rows = []
         if with_full:
             rho = n_rows_total / V
-            rows.append(hist.sum(axis=(0, 1)) / (n_rows_total * rho * shell_d))
-        for a, b in relation_matrix:
+            rows.append(full.astype(sdtype)
+                        / (n_rows_total * rho * shell_d))
+        for r, (a, b) in enumerate(relation_matrix):
             n_a = float(code_counts_rows[int(a) - 1])
             cnt_b = float(code_counts_cols[int(b) - 1])
             rho_b = cnt_b / V
-            rows.append(hist[int(a) - 1, int(b) - 1] / (n_a * rho_b * shell_d))
+            rows.append(rels[r].astype(sdtype) / (n_a * rho_b * shell_d))
         return jnp.stack(rows)
 
     nrows = R + (1 if with_full else 0)

@@ -120,3 +120,81 @@ def test_pallas_spatial_sort_matches_scatter():
         dtype=jnp.float32, method="scatter",
     ))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("exclude_self,triangle,with_full", [
+    (True, False, True), (True, True, True), (True, True, False),
+    (False, False, True), (False, True, True), (False, True, False),
+])
+def test_relation_kernel_matches_scatter(exclude_self, triangle, with_full):
+    """Relation-projected mixed-tile kernel (global Morton order, fused
+    multi-hot dot) must equal project_relations of the dense scatter
+    histogram, in every mode combination."""
+    from mdproptools_tpu.ops.pairs_pallas import pair_hist_relations_pallas
+
+    rng = np.random.default_rng(7)
+    n, box = 700, 14.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    pp = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    L = jnp.full(3, box, jnp.float32)
+    relations = np.array([[1, 2], [2, 1], [3, 3], [1, 1]])
+    counts = np.bincount(codes - 1, minlength=3)
+
+    n_pad = -(-n // 128) * 128
+    pm = pair_ops.device_sort_global(
+        jnp.asarray(pos), n, n_pad, L, pair_ops.pick_ncell(n))
+    pr = pair_ops.gather_padded_perm(jnp.asarray(pos), pm)
+    codes0 = jnp.asarray(codes - 1, jnp.float32)
+    ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
+
+    hist = pair_ops.pair_hist(pp, pp, lay, lay, L, 0.1, 128, 6.0,
+                              exclude_self, dtype=jnp.float32,
+                              method="scatter")
+    wfull, wrels = pair_ops.project_relations(hist, relations, with_full)
+    gfull, grels = pair_hist_relations_pallas(
+        pr, pm, ty, pr, pm, ty, relations - 1, L, 0.1, 128, 6.0,
+        exclude_self, with_full, triangle=triangle, interpret=True,
+        counts_r=counts)
+    np.testing.assert_array_equal(np.asarray(grels), np.asarray(wrels))
+    if with_full:
+        np.testing.assert_array_equal(np.asarray(gfull), np.asarray(wfull))
+
+
+def test_relation_kernel_cross_layout():
+    """Cross-layout (atoms vs molecular COMs) relation kernel parity."""
+    from mdproptools_tpu.ops.pairs_pallas import pair_hist_relations_pallas
+
+    rng = np.random.default_rng(17)
+    n, m, box = 500, 200, 12.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    com = rng.uniform(0, box, (m, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    mcodes = rng.integers(1, 3, m)
+    lay_r = pair_ops.build_type_layout(codes, 3)
+    lay_c = pair_ops.build_type_layout(mcodes, 2)
+    L = jnp.full(3, box, jnp.float32)
+    relations = np.array([[1, 2], [3, 1]])
+
+    pp_r = pair_ops.gather_padded(jnp.asarray(pos), lay_r)
+    pp_c = pair_ops.gather_padded(jnp.asarray(com), lay_c)
+    hist = pair_ops.pair_hist(pp_r, pp_c, lay_r, lay_c, L, 0.1, 128, 6.0,
+                              False, dtype=jnp.float32, method="scatter")
+    _, wrels = pair_ops.project_relations(hist, relations, False)
+
+    def side(p, nn, ncodes_arr):
+        n_pad = -(-nn // 128) * 128
+        pm = pair_ops.device_sort_global(
+            jnp.asarray(p), nn, n_pad, L, pair_ops.pick_ncell(nn))
+        pr = pair_ops.gather_padded_perm(jnp.asarray(p), pm)
+        c0 = jnp.asarray(ncodes_arr - 1, jnp.float32)
+        ty = jnp.where(pm >= 0, c0[jnp.maximum(pm, 0)], -1.0)
+        return pr, pm, ty
+
+    pr, pm, ty = side(pos, n, codes)
+    pc, pmc, tyc = side(com, m, mcodes)
+    _, grels = pair_hist_relations_pallas(
+        pr, pm, ty, pc, pmc, tyc, relations - 1, L, 0.1, 128, 6.0,
+        False, False, triangle=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(grels), np.asarray(wrels))

@@ -27,7 +27,11 @@ from scipy.integrate import cumulative_trapezoid
 
 from mdproptools_tpu.common import constants
 from mdproptools_tpu.common.system import System
-from mdproptools_tpu.io.lammps_dump import peek_dump_columns, read_trajectory
+from mdproptools_tpu.io.lammps_dump import (
+    iter_trajectory_blocks,
+    peek_dump_columns,
+    read_trajectory,
+)
 from mdproptools_tpu.ops import acf as acf_ops
 from mdproptools_tpu.ops import com as com_ops
 from mdproptools_tpu.ops.precision import resolve_dtype
@@ -120,27 +124,18 @@ class Conductivity:
     # ------------------------------------------------------------------
     def get_charge_flux(self):
         """Charge flux J_k(t) = sum_mols q_mol * v_com per molecule type
-        -> (3, n_mol_types, T). One device program replaces the process
-        pool (``conductivity.py:167-195``)."""
+        -> (3, n_mol_types, T). One device program per frame block
+        replaces the process pool (``conductivity.py:167-195``);
+        ingestion is streamed so host memory stays O(block x N) for any
+        trajectory length (the per-type flux series itself is tiny)."""
         dtype = resolve_dtype(self.precision)
         pattern = f"{self.working_dir}/{self.filename}"
         available = peek_dump_columns(pattern)
         wanted = ["id", "type", "q", "mass", "vx", "vy", "vz"]
-        traj = read_trajectory(
+        blocks = iter_trajectory_blocks(
             pattern, columns=[c for c in wanted if c in available]
         )
         system = System(self.num_mols, self.num_atoms_per_mol, mass=self.mass)
-        if self.mass is not None:
-            types = traj.col("type")[0].astype(np.int64)
-            masses = np.asarray(self.mass, np.float64)[types - 1]
-        elif traj.has("mass"):
-            masses = traj.col("mass")[0]
-        else:
-            raise AssertionError("Missing atom masses in dump file.")
-        if not traj.has("q"):
-            raise AssertionError("Missing atom charges in dump file.")
-        vel = traj.cols(["vx", "vy", "vz"])  # (T, N, 3)
-        q = traj.col("q")[0]
         mol_index = jnp.asarray(system.mol_index)
         type_index = jnp.asarray(system.mol_type_of_molecule - 1)
         n_mols = system.n_molecules
@@ -164,14 +159,31 @@ class Conductivity:
                                     num_segments=vel_d.shape[0] * n_types)
             return j.reshape(vel_d.shape[0], n_types, 3)
 
-        with stage("charge_flux", frames=vel.shape[0]):
-            j = np.asarray(
-                flux_fn(jnp.asarray(vel, dtype), jnp.asarray(q, dtype),
-                        jnp.asarray(masses, dtype)),
-                np.float64,
-            )
+        j_parts, timesteps = [], []
+        masses = q = None
+        for blk in blocks:
+            if masses is None:  # frame-0 metadata
+                if self.mass is not None:
+                    types = blk.col("type")[0].astype(np.int64)
+                    masses = np.asarray(self.mass, np.float64)[types - 1]
+                elif blk.has("mass"):
+                    masses = blk.col("mass")[0]
+                else:
+                    raise AssertionError("Missing atom masses in dump file.")
+                if not blk.has("q"):
+                    raise AssertionError("Missing atom charges in dump file.")
+                q = blk.col("q")[0]
+            vel_b = blk.cols(["vx", "vy", "vz"])  # (block, N, 3)
+            with stage("charge_flux", frames=vel_b.shape[0]):
+                j_parts.append(np.asarray(
+                    flux_fn(jnp.asarray(vel_b, dtype), jnp.asarray(q, dtype),
+                            jnp.asarray(masses, dtype)),
+                    np.float64,
+                ))
+            timesteps.append(blk.timesteps)
+        j = np.concatenate(j_parts)
         self.time = list(
-            traj.timesteps.astype(np.float64)
+            np.concatenate(timesteps).astype(np.float64)
             * constants.TIME_CONVERSION[self.units]
             * self.timestep
         )

@@ -30,7 +30,10 @@ import pandas as pd
 
 from mdproptools_tpu.common import constants
 from mdproptools_tpu.common.system import System
-from mdproptools_tpu.io.lammps_dump import peek_dump_columns, read_trajectory
+from mdproptools_tpu.io.lammps_dump import (
+    iter_trajectory_blocks,
+    peek_dump_columns,
+)
 from mdproptools_tpu.ops import com as com_ops
 from mdproptools_tpu.ops.fits import ols_no_intercept
 from mdproptools_tpu.ops.precision import resolve_dtype
@@ -98,41 +101,59 @@ class Diffusion:
                   "iz", "mass"]
         pattern = f"{self.outputs_dir}/{filename}"
         available = peek_dump_columns(pattern)
-        traj = read_trajectory(
+        if msd_type not in ("allatom", "com"):
+            raise ValueError("msd_type must be 'allatom' or 'com'.")
+
+        # Streamed ingestion: the (T, N, 3) unwrapped block is reduced
+        # per block — for msd_type="com" to (T, M, 3) molecular COMs
+        # (host memory O(block x N) + O(T x M)); "allatom" necessarily
+        # keeps (T, N, 3) because msd_all is a per-atom per-frame output
+        # (the reference's semantics, diffusion.py:207-218).
+        coords_parts, ts_parts = [], []
+        ids = masses = None
+        system = None
+        for blk in iter_trajectory_blocks(
             pattern, columns=[c for c in wanted if c in available]
-        )
-        if not traj.has("id"):
-            raise AssertionError("Missing atom id's in dump file.")
-        xu = self._unwrapped_coords(traj)  # (T, N, 3) LAMMPS units
-        T, N = xu.shape[:2]
+        ):
+            if ids is None:  # frame-0 metadata
+                if not blk.has("id"):
+                    raise AssertionError("Missing atom id's in dump file.")
+                ids = blk.col("id")[0].astype(np.int64)
+                if msd_type == "com":
+                    system = System(num_mols, num_atoms_per_mol)
+                    if mass is not None:
+                        types = blk.col("type")[0].astype(np.int64)
+                        masses = np.asarray(mass, np.float64)[types - 1]
+                    elif blk.has("mass"):
+                        masses = blk.col("mass")[0]
+                    else:
+                        raise AssertionError(
+                            "Missing atom masses in dump file.")
+            xu_b = self._unwrapped_coords(blk)  # (block, N, 3) LAMMPS units
+            if msd_type == "com":
+                com_b = com_ops.segment_com(
+                    jnp.asarray(xu_b, dtype),
+                    jnp.asarray(masses, dtype),
+                    jnp.asarray(system.mol_index),
+                    system.n_molecules,
+                )
+                coords_parts.append(np.asarray(com_b, np.float64))
+            else:
+                coords_parts.append(xu_b)
+            ts_parts.append(blk.timesteps)
+
+        dist = constants.DISTANCE_CONVERSION[self.units]
+        coords = np.concatenate(coords_parts) * dist  # SI
+        T, N = coords.shape[0], ids.shape[0]
         time_s = (
-            traj.timesteps.astype(np.float64)
+            np.concatenate(ts_parts).astype(np.float64)
             * self.timestep
             * constants.TIME_CONVERSION[self.units]
         )
-        dist = constants.DISTANCE_CONVERSION[self.units]
 
         if msd_type == "allatom":
-            coords = xu * dist  # SI
-            ids = traj.col("id")[0].astype(np.int64)
             id_cols = {"id": ids}
-            group_keys = None  # 1-D average over all atoms
-        elif msd_type == "com":
-            system = System(num_mols, num_atoms_per_mol)
-            if mass is not None:
-                types = traj.col("type")[0].astype(np.int64)
-                masses = np.asarray(mass, np.float64)[types - 1]
-            elif traj.has("mass"):
-                masses = traj.col("mass")[0]
-            else:
-                raise AssertionError("Missing atom masses in dump file.")
-            com = com_ops.segment_com(
-                jnp.asarray(xu, dtype),
-                jnp.asarray(masses, dtype),
-                jnp.asarray(system.mol_index),
-                system.n_molecules,
-            )
-            coords = np.asarray(com, np.float64) * dist  # (T, M, 3) SI
+        else:
             mol_types = system.mol_type_of_molecule  # (M,) 1-based
             mol_ids = np.concatenate(
                 [np.arange(1, n + 1) for n in system.num_mols]
@@ -142,9 +163,6 @@ class Diffusion:
             np.add.at(mol_mass, system.mol_index, masses)
             mol_mass = mol_mass * constants.MASS_CONVERSION[self.units]
             id_cols = {"type": mol_types, "mol_id": mol_ids}
-            group_keys = mol_types
-        else:
-            raise ValueError("msd_type must be 'allatom' or 'com'.")
 
         if msd_type == "com" and com_drift:
             # subtract per-type mass-weighted COM drift vs t=0

@@ -31,7 +31,10 @@ from scipy.optimize import curve_fit
 from scipy.special import gamma
 
 from mdproptools_tpu.common.system import altered_atom_types
-from mdproptools_tpu.io.lammps_dump import read_trajectory
+from mdproptools_tpu.io.lammps_dump import (
+    iter_trajectory_blocks,
+    read_trajectory,
+)
 from mdproptools_tpu.ops import acf as acf_ops
 from mdproptools_tpu.ops import pairs as pair_ops
 from mdproptools_tpu.ops.precision import resolve_dtype
@@ -79,47 +82,63 @@ class ResidenceTime:
         normalized by C(0) (``residence_time.py:70-148``). Saves
         auto_correlation.csv and returns the DataFrame."""
         dtype = resolve_dtype(self.precision)
-        traj = read_trajectory(self.filename,
-                               columns=["id", "type", "x", "y", "z"])
-        T = traj.n_frames
-        types = traj.col("type")[0].astype(np.int64)
-        if self.num_mols and self.num_atoms_per_mol:
-            ids = traj.col("id")[0].astype(np.int64)
-            codes = altered_atom_types(ids, self.num_mols,
-                                       self.num_atoms_per_mol)
-        else:
-            codes = types
-        pos = traj.cols(["x", "y", "z"])  # (T, N, 3)
-        lengths = traj.box_lengths
+        # Streamed ingestion: the (T, N, 3) positions are reduced per
+        # block to the boolean shell matrices (T, Na, Nb) per relation —
+        # the minimum the survival ACF fundamentally needs — so host
+        # memory stays O(block x N) + O(T x Na x Nb) bools.
+        h_fns = None
+        h_parts: list = []
+        ts_parts = []
+        rel_meta = []
+        for blk in iter_trajectory_blocks(
+            self.filename, columns=["id", "type", "x", "y", "z"]
+        ):
+            if h_fns is None:  # frame-0 metadata + per-relation setup
+                types = blk.col("type")[0].astype(np.int64)
+                if self.num_mols and self.num_atoms_per_mol:
+                    ids = blk.col("id")[0].astype(np.int64)
+                    codes = altered_atom_types(ids, self.num_mols,
+                                               self.num_atoms_per_mol)
+                else:
+                    codes = types
+                h_fns = []
+                for kl in range(len(self.relation_matrix)):
+                    k, l = (int(v) for v in self.relation_matrix[kl])
+                    atom_pair = f"{k}-{l}"
+                    self.atom_pairs.append(atom_pair)
+                    sel_k = np.nonzero(codes == k)[0]
+                    sel_l = np.nonzero(codes == l)[0]
+                    if sel_k.size == 0 or sel_l.size == 0:
+                        raise ValueError(
+                            f"relation {atom_pair}: no atoms of type "
+                            f"{k if not sel_k.size else l}"
+                        )
+                    r_in, r_out = self.r_cut[kl]
 
-        correlation = {
-            "Time (ps)": traj.timesteps.astype(np.float64) * self.dt
-        }
-        for kl in range(len(self.relation_matrix)):
-            k, l = (int(v) for v in self.relation_matrix[kl])
-            atom_pair = f"{k}-{l}"
-            self.atom_pairs.append(atom_pair)
-            sel_k = np.nonzero(codes == k)[0]
-            sel_l = np.nonzero(codes == l)[0]
-            if sel_k.size == 0 or sel_l.size == 0:
-                raise ValueError(
-                    f"relation {atom_pair}: no atoms of type {k if not sel_k.size else l}"
-                )
-            r_in, r_out = self.r_cut[kl]
+                    @jax.jit
+                    def h_fn(pos_d, len_d, ik=jnp.asarray(sel_k),
+                             il=jnp.asarray(sel_l), r_in=float(r_in),
+                             r_out=float(r_out)):
+                        def per_frame(p, L):
+                            return pair_ops.shell_mask(
+                                p[ik], p[il], L, r_in, r_out)
 
-            @jax.jit
-            def h_fn(pos_d, len_d, ik=jnp.asarray(sel_k),
-                     il=jnp.asarray(sel_l), r_in=float(r_in),
-                     r_out=float(r_out)):
-                def per_frame(p, L):
-                    pk = p[ik]
-                    plr = p[il]
-                    return pair_ops.shell_mask(pk, plr, L, r_in, r_out)
+                        return jax.vmap(per_frame)(pos_d, len_d)
 
-                return jax.vmap(per_frame)(pos_d, len_d)
+                    h_fns.append(h_fn)
+                    rel_meta.append((k, l, atom_pair, sel_k, sel_l))
+                    h_parts.append([])
+            pos_b = jnp.asarray(blk.cols(["x", "y", "z"]), dtype)
+            len_b = jnp.asarray(blk.box_lengths, dtype)
+            for kl, fn in enumerate(h_fns):
+                h_parts[kl].append(np.asarray(fn(pos_b, len_b), bool))
+            ts_parts.append(blk.timesteps)
 
-            h = h_fn(jnp.asarray(pos, dtype), jnp.asarray(lengths, dtype))
-            h = h.astype(dtype)  # (T, Na, Nb)
+        timesteps = np.concatenate(ts_parts)
+        T = timesteps.shape[0]
+        correlation = {"Time (ps)": timesteps.astype(np.float64) * self.dt}
+        for kl, (k, l, atom_pair, sel_k, sel_l) in enumerate(rel_meta):
+            h = jnp.asarray(np.concatenate(h_parts[kl]), dtype)
             if k == l:
                 # mask self pairs: same position index within the type
                 eye = np.equal.outer(sel_k, sel_l)

@@ -263,24 +263,8 @@ def peek_dump_columns(pattern: str) -> List[str]:
     raise ValueError(f"no ATOMS section in {files[0]!r}")
 
 
-def read_trajectory(
-    pattern: str,
-    columns: Optional[Sequence[str]] = None,
-    sort_by_id: bool = True,
-    max_frames: Optional[int] = None,
-) -> Trajectory:
-    """Read a dump pattern into one fixed-shape Trajectory.
-
-    ``columns`` restricts which dump columns are kept (saves host RAM and
-    host->device bandwidth); atom count must be constant across frames.
-    """
-    frames: List[Frame] = []
-    for fr in parse_lammps_dumps(pattern, sort_by_id=sort_by_id):
-        frames.append(fr)
-        if max_frames is not None and len(frames) >= max_frames:
-            break
-    if not frames:
-        raise ValueError(f"no frames parsed from {pattern!r}")
+def _stack_frames(frames: List[Frame],
+                  columns: Optional[Sequence[str]]) -> Trajectory:
     keep = list(columns) if columns is not None else list(frames[0].columns)
     n_atoms = frames[0].natoms
     data = np.empty((len(frames), n_atoms, len(keep)), np.float64)
@@ -292,4 +276,55 @@ def read_trajectory(
         data[t] = fr.cols(keep)
         timesteps[t] = fr.timestep
         box_bounds[t] = fr.box.bounds
-    return Trajectory(timesteps, box_bounds, keep, data, frames[0].box.periodic)
+    return Trajectory(timesteps, box_bounds, keep, data,
+                      frames[0].box.periodic)
+
+
+def iter_trajectory_blocks(
+    pattern: str,
+    columns: Optional[Sequence[str]] = None,
+    block_frames: int = 128,
+    sort_by_id: bool = True,
+    max_frames: Optional[int] = None,
+) -> Iterator[Trajectory]:
+    """Stream a dump pattern as fixed-shape ``Trajectory`` blocks of at
+    most ``block_frames`` frames each. Host memory stays O(block x N x C)
+    regardless of trajectory length — the device-feed analogue of the
+    reference's lazy ``parse_lammps_dumps`` generator (used lazily at
+    ``diffusion.py:172``; its CHANGELOG v0.0.4 explicitly moved away
+    from read-all-at-once). Frame order matches ``read_trajectory``."""
+    frames: List[Frame] = []
+    seen = 0
+    for fr in parse_lammps_dumps(pattern, sort_by_id=sort_by_id):
+        frames.append(fr)
+        seen += 1
+        if len(frames) == block_frames:
+            yield _stack_frames(frames, columns)
+            frames = []
+        if max_frames is not None and seen >= max_frames:
+            break
+    if frames:
+        yield _stack_frames(frames, columns)
+
+
+def read_trajectory(
+    pattern: str,
+    columns: Optional[Sequence[str]] = None,
+    sort_by_id: bool = True,
+    max_frames: Optional[int] = None,
+) -> Trajectory:
+    """Read a dump pattern into one fixed-shape Trajectory.
+
+    ``columns`` restricts which dump columns are kept (saves host RAM and
+    host->device bandwidth); atom count must be constant across frames.
+    For long trajectories prefer ``iter_trajectory_blocks`` (bounded
+    memory).
+    """
+    frames: List[Frame] = []
+    for fr in parse_lammps_dumps(pattern, sort_by_id=sort_by_id):
+        frames.append(fr)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError(f"no frames parsed from {pattern!r}")
+    return _stack_frames(frames, columns)

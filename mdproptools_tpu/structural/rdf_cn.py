@@ -35,7 +35,11 @@ import numpy as np
 import pandas as pd
 
 from mdproptools_tpu.common.system import System, altered_atom_types
-from mdproptools_tpu.io.lammps_dump import Trajectory, read_trajectory
+from mdproptools_tpu.io.lammps_dump import (
+    Trajectory,
+    iter_trajectory_blocks,
+    read_trajectory,
+)
 from mdproptools_tpu.ops import com as com_ops
 from mdproptools_tpu.ops import pairs as pair_ops
 from mdproptools_tpu.ops.precision import resolve_dtype
@@ -51,6 +55,25 @@ FRAME_BLOCK = 128  # frames per device program (one transfer, one fetch)
 # --------------------------------------------------------------------------
 def _load(filename, columns=("id", "type", "x", "y", "z")):
     return read_trajectory(filename, columns=list(columns))
+
+
+def _open_stream(filename, columns=("id", "type", "x", "y", "z")):
+    """Open a dump pattern as a bounded-memory block stream. Returns
+    (first_block, blocks_fn) where blocks_fn() iterates ALL blocks
+    including the first — the first block supplies frame-0 metadata
+    (codes, counts, consistency checks, kernel-policy shapes)."""
+    it = iter_trajectory_blocks(filename, columns=list(columns),
+                                block_frames=FRAME_BLOCK)
+    try:
+        first = next(it)
+    except StopIteration:
+        raise ValueError(f"no frames parsed from {filename!r}")
+
+    def blocks():
+        yield first
+        yield from it
+
+    return first, blocks
 
 
 def _atom_codes(traj: Trajectory, num_types, num_mols, num_atoms_per_mol):
@@ -132,14 +155,25 @@ def _save_cn(relation_matrix, path_or_buff, cn, save_mode):
 # --------------------------------------------------------------------------
 # device frame loop
 # --------------------------------------------------------------------------
-def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None):
-    """Mean over frames of ``step_fn(pos_t, pos_cols_t, L_t)`` computed as
-    an on-device running sum (``lax.scan`` over fixed-size frame blocks,
-    tail padded with zero weight), fetched once per block, divided by the
-    frame count on host — the reference's accumulate-then-divide order
-    (``rdf_cn.py:514-521``)."""
+def _array_blocks(pos, lengths, pos_cols=None):
+    """Slice already-materialized arrays into FRAME_BLOCK-sized blocks
+    (the non-streaming path used by tests and small workloads)."""
     T = pos.shape[0]
-    same = pos_cols is None
+    for s in range(0, T, FRAME_BLOCK):
+        e = min(s + FRAME_BLOCK, T)
+        yield (pos[s:e],
+               None if pos_cols is None else pos_cols[s:e],
+               lengths[s:e])
+
+
+def _scan_frame_mean(step_fn, out_shape, blocks, dtype):
+    """Mean over frames of ``step_fn(pos_t, pos_cols_t, L_t)`` computed as
+    an on-device running sum (``lax.scan`` over frame blocks from the
+    ``blocks`` iterator of (pos_b, pos_cols_b|None, lengths_b) host
+    arrays), fetched once per block, divided by the frame count on host —
+    the reference's accumulate-then-divide order (``rdf_cn.py:514-521``).
+    Host/device memory stays O(block), independent of trajectory length.
+    """
     acc_dtype = jnp.float32 if dtype == jnp.float32 else dtype
 
     @jax.jit
@@ -156,15 +190,16 @@ def _scan_frame_mean(step_fn, out_shape, pos, lengths, dtype, pos_cols=None):
     # full O(N^2) kernel); jit caches one program per distinct block size,
     # of which there are at most two (FRAME_BLOCK and the remainder).
     total = np.zeros(out_shape, np.float64)
-    for s in range(0, T, FRAME_BLOCK):
-        e = min(s + FRAME_BLOCK, T)
-        with stage("frame_block", start=s, frames=e - s):
-            pos_b = jnp.asarray(pos[s:e], dtype)
-            pc_b = pos_b if same else jnp.asarray(pos_cols[s:e], dtype)
+    T = 0
+    for pos_b, pc_b, len_b in blocks:
+        with stage("frame_block", start=T, frames=pos_b.shape[0]):
+            pb = jnp.asarray(pos_b, dtype)
+            pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
             total += np.asarray(
-                run_block(pos_b, pc_b, jnp.asarray(lengths[s:e], dtype)),
-                np.float64,
-            )
+                run_block(pb, pcb, jnp.asarray(len_b, dtype)), np.float64)
+            T += pos_b.shape[0]
+    if T == 0:
+        raise ValueError("no frames to average")
     return total / T
 
 
@@ -172,8 +207,14 @@ def _rdf_mean(
     pos, codes, n_codes, lengths, bin_size, n_bins, r_cut, relation_matrix,
     code_counts_rows, code_counts_cols, exclude_self, with_full, dtype,
     pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort="auto",
+    blocks=None,
 ):
     """Frame-averaged normalized RDF: returns (g_full or None, g_part).
+
+    ``blocks``: optional iterator of (pos_b, pos_cols_b|None, lengths_b)
+    host blocks for streaming ingestion (``pos``/``lengths`` then only
+    inform shapes and the kernel policy — pass the first block). When
+    None, ``pos``/``pos_cols``/``lengths`` are full arrays.
 
     Per-frame normalization happens inside the device scan with the
     reference's exact operation order: rho_b = count_b / V first, then
@@ -302,8 +343,9 @@ def _rdf_mean(
         return jnp.stack(rows)
 
     nrows = R + (1 if with_full else 0)
-    out = _scan_frame_mean(step, (nrows, n_bins), pos, lengths, dtype,
-                           pos_cols=pos_cols)
+    if blocks is None:
+        blocks = _array_blocks(pos, lengths, pos_cols)
+    out = _scan_frame_mean(step, (nrows, n_bins), blocks, dtype)
     if with_full:
         return out[0], out[1:]
     return None, out
@@ -312,7 +354,7 @@ def _rdf_mean(
 def _cn_mean(
     pos, codes, n_codes, lengths, relation_matrix, r_cuts, code_counts_rows,
     exclude_self, dtype,
-    pos_cols=None, codes_cols=None, n_codes_cols=None,
+    pos_cols=None, codes_cols=None, n_codes_cols=None, blocks=None,
 ):
     """Frame-averaged coordination numbers (R,), normalized per frame by
     the reference-type count (``rdf_cn.py:332-338``)."""
@@ -337,8 +379,9 @@ def _cn_mean(
         )
         return counts.astype(sdtype) / jnp.asarray(n_ref, sdtype)
 
-    return _scan_frame_mean(step, (relation_matrix.shape[0],), pos, lengths,
-                            dtype, pos_cols=pos_cols)
+    if blocks is None:
+        blocks = _array_blocks(pos, lengths, pos_cols)
+    return _scan_frame_mean(step, (relation_matrix.shape[0],), blocks, dtype)
 
 
 def _mol_coms(traj: Trajectory, system: System, mass, dtype):
@@ -382,22 +425,31 @@ def calc_atomic_rdf(
     for the Pallas kernel's tile cull to skip far tile pairs (the
     O(N^2) -> O(N * n_near) lever for large systems); True/False force
     it. Results are bit-identical either way (integer counts, order-
-    independent)."""
+    independent).
+
+    Ingestion is streamed in FRAME_BLOCK-frame blocks (host memory
+    O(block x N), any trajectory length); the density consistency check
+    uses the first block's volumes."""
     dtype = resolve_dtype(precision)
-    traj = _load(filename)
-    codes, n_codes, _ = _atom_codes(traj, num_types, num_mols, num_atoms_per_mol)
+    first, blocks = _open_stream(filename)
+    codes, n_codes, _ = _atom_codes(first, num_types, num_mols,
+                                    num_atoms_per_mol)
     num_bins = int(r_cut / bin_size)
     relation_matrix = np.asarray(partial_relations).T  # (R, 2)
-    lengths = traj.box_lengths
+    lengths = first.box_lengths
     volumes = lengths.prod(axis=1)
     code_counts = np.bincount(codes - 1, minlength=n_codes).astype(np.float64)
     _check_relations(relation_matrix, code_counts, n_codes, volumes, "atom")
 
-    pos = traj.cols(["x", "y", "z"])
+    def pos_blocks():
+        for blk in blocks():
+            yield blk.cols(["x", "y", "z"]), None, blk.box_lengths
+
     rdf_full, rdf_part = _rdf_mean(
-        pos, codes, n_codes, lengths, bin_size, num_bins, float(r_cut),
-        relation_matrix, code_counts, code_counts, exclude_self=True,
-        with_full=True, dtype=dtype, spatial_sort=spatial_sort,
+        first.cols(["x", "y", "z"]), codes, n_codes, lengths, bin_size,
+        num_bins, float(r_cut), relation_matrix, code_counts, code_counts,
+        exclude_self=True, with_full=True, dtype=dtype,
+        spatial_sort=spatial_sort, blocks=pos_blocks(),
     )
     return _save_rdf(_radii(bin_size, num_bins), relation_matrix, path_or_buff,
                      save_mode, rdf_part, rdf_full)
@@ -417,12 +469,13 @@ def calc_atomic_cn(
     precision="fast",
 ):
     """Atom-atom coordination numbers, one exact cutoff per relation
-    (reference: ``rdf_cn.py:533-651``)."""
+    (reference: ``rdf_cn.py:533-651``). Streamed ingestion."""
     dtype = resolve_dtype(precision)
-    traj = _load(filename)
-    codes, n_codes, _ = _atom_codes(traj, num_types, num_mols, num_atoms_per_mol)
+    first, blocks = _open_stream(filename)
+    codes, n_codes, _ = _atom_codes(first, num_types, num_mols,
+                                    num_atoms_per_mol)
     relation_matrix = np.asarray(partial_relations).T
-    lengths = traj.box_lengths
+    lengths = first.box_lengths
     code_counts = np.bincount(codes - 1, minlength=n_codes).astype(np.float64)
     _check_relations(relation_matrix, code_counts, n_codes,
                      lengths.prod(axis=1), "atom")
@@ -430,10 +483,15 @@ def calc_atomic_cn(
     r_cuts = np.asarray(r_cut, np.float64).reshape(-1)
     if r_cuts.size == 1:
         r_cuts = np.full(relation_matrix.shape[0], float(r_cuts[0]))
-    pos = traj.cols(["x", "y", "z"])
+
+    def pos_blocks():
+        for blk in blocks():
+            yield blk.cols(["x", "y", "z"]), None, blk.box_lengths
+
     cn = _cn_mean(
-        pos, codes, n_codes, lengths, relation_matrix, r_cuts, code_counts,
-        exclude_self=True, dtype=dtype,
+        first.cols(["x", "y", "z"]), codes, n_codes, lengths,
+        relation_matrix, r_cuts, code_counts,
+        exclude_self=True, dtype=dtype, blocks=pos_blocks(),
     )
     return _save_cn(relation_matrix, path_or_buff, cn, save_mode)
 
@@ -453,28 +511,34 @@ def calc_molecular_rdf(
 ):
     """Partial RDF between an atom type and molecular centers of mass
     (reference: ``rdf_cn.py:654-756``; one-directional counting as in
-    ``_rdf_mol_loop``, ``rdf_cn.py:122-141``)."""
+    ``_rdf_mol_loop``, ``rdf_cn.py:122-141``). Streamed ingestion with
+    per-block segment-sum COMs."""
     dtype = resolve_dtype(precision)
-    traj = _load(filename)
+    first, blocks = _open_stream(filename)
     system = System(num_mols, num_atoms_per_mol, mass=mass)
-    codes, n_codes, types = _atom_codes(traj, num_types, None, None)
+    codes, n_codes, types = _atom_codes(first, num_types, None, None)
     num_bins = int(r_cut / bin_size)
     relation_matrix = np.asarray(partial_relations).T
-    lengths = traj.box_lengths
+    lengths = first.box_lengths
     volumes = lengths.prod(axis=1)
     atom_counts = np.bincount(types - 1, minlength=num_types).astype(np.float64)
-    mol_pos, mol_codes = _mol_coms(traj, system, mass, dtype)
+    mol_pos0, mol_codes = _mol_coms(first, system, mass, dtype)
     mol_counts = np.bincount(mol_codes - 1,
                              minlength=system.n_mol_types).astype(np.float64)
     _check_relations(relation_matrix, mol_counts, n_codes, volumes, "molecule")
 
-    pos = traj.cols(["x", "y", "z"])
+    def pos_blocks():
+        for i, blk in enumerate(blocks()):
+            mp = (mol_pos0 if i == 0
+                  else _mol_coms(blk, system, mass, dtype)[0])
+            yield blk.cols(["x", "y", "z"]), mp, blk.box_lengths
+
     _, rdf_part = _rdf_mean(
-        pos, codes, n_codes, lengths, bin_size, num_bins, float(r_cut),
-        relation_matrix, atom_counts, mol_counts, exclude_self=False,
-        with_full=False, dtype=dtype,
-        pos_cols=mol_pos, codes_cols=mol_codes,
-        n_codes_cols=system.n_mol_types,
+        first.cols(["x", "y", "z"]), codes, n_codes, lengths, bin_size,
+        num_bins, float(r_cut), relation_matrix, atom_counts, mol_counts,
+        exclude_self=False, with_full=False, dtype=dtype,
+        pos_cols=mol_pos0, codes_cols=mol_codes,
+        n_codes_cols=system.n_mol_types, blocks=pos_blocks(),
     )
     return _save_rdf(_radii(bin_size, num_bins), relation_matrix, path_or_buff,
                      save_mode, rdf_part)
@@ -494,25 +558,32 @@ def calc_molecular_cn(
     precision="fast",
 ):
     """Coordination number between an atom type and molecular COMs
-    (reference: ``rdf_cn.py:759-855``)."""
+    (reference: ``rdf_cn.py:759-855``). Streamed ingestion."""
     dtype = resolve_dtype(precision)
-    traj = _load(filename)
+    first, blocks = _open_stream(filename)
     system = System(num_mols, num_atoms_per_mol, mass=mass)
-    codes, n_codes, types = _atom_codes(traj, num_types, None, None)
+    codes, n_codes, types = _atom_codes(first, num_types, None, None)
     relation_matrix = np.asarray(partial_relations).T
-    lengths = traj.box_lengths
+    lengths = first.box_lengths
     atom_counts = np.bincount(types - 1, minlength=num_types).astype(np.float64)
-    mol_pos, mol_codes = _mol_coms(traj, system, mass, dtype)
+    mol_pos0, mol_codes = _mol_coms(first, system, mass, dtype)
 
     r_cuts = np.asarray(r_cut, np.float64).reshape(-1)
     if r_cuts.size == 1:
         r_cuts = np.full(relation_matrix.shape[0], float(r_cuts[0]))
-    pos = traj.cols(["x", "y", "z"])
+
+    def pos_blocks():
+        for i, blk in enumerate(blocks()):
+            mp = (mol_pos0 if i == 0
+                  else _mol_coms(blk, system, mass, dtype)[0])
+            yield blk.cols(["x", "y", "z"]), mp, blk.box_lengths
+
     cn = _cn_mean(
-        pos, codes, n_codes, lengths, relation_matrix, r_cuts, atom_counts,
+        first.cols(["x", "y", "z"]), codes, n_codes, lengths,
+        relation_matrix, r_cuts, atom_counts,
         exclude_self=False, dtype=dtype,
-        pos_cols=mol_pos, codes_cols=mol_codes,
-        n_codes_cols=system.n_mol_types,
+        pos_cols=mol_pos0, codes_cols=mol_codes,
+        n_codes_cols=system.n_mol_types, blocks=pos_blocks(),
     )
     return _save_cn(relation_matrix, path_or_buff, cn, save_mode)
 
@@ -533,24 +604,31 @@ def calc_intermolecular_rdf(
     """COM-COM partial RDF (reference: ``rdf_cn.py:857-903``). Note: like
     the reference, self-pairs are *included* (its ``_rdf_mol_loop`` runs
     mol_data against itself without exclusion), so g(r->0) bins contain
-    the self count."""
+    the self count. Streamed ingestion (per-block segment-sum COMs)."""
     dtype = resolve_dtype(precision)
-    traj = _load(filename)
+    first, blocks = _open_stream(filename)
     system = System(num_mols, num_atoms_per_mol, mass=mass)
     num_bins = int(r_cut / bin_size)
     relation_matrix = np.asarray(partial_relations).T
-    lengths = traj.box_lengths
+    lengths = first.box_lengths
     volumes = lengths.prod(axis=1)
-    mol_pos, mol_codes = _mol_coms(traj, system, mass, dtype)
+    mol_pos0, mol_codes = _mol_coms(first, system, mass, dtype)
     mol_counts = np.bincount(mol_codes - 1,
                              minlength=system.n_mol_types).astype(np.float64)
     _check_relations(relation_matrix, mol_counts, system.n_mol_types, volumes,
                      "molecule")
 
+    def pos_blocks():
+        for i, blk in enumerate(blocks()):
+            mp = (mol_pos0 if i == 0
+                  else _mol_coms(blk, system, mass, dtype)[0])
+            yield mp, None, blk.box_lengths
+
     _, rdf_part = _rdf_mean(
-        mol_pos, mol_codes, system.n_mol_types, lengths, bin_size, num_bins,
+        mol_pos0, mol_codes, system.n_mol_types, lengths, bin_size, num_bins,
         float(r_cut), relation_matrix, mol_counts, mol_counts,
         exclude_self=False, with_full=False, dtype=dtype,
+        blocks=pos_blocks(),
     )
     return _save_rdf(_radii(bin_size, num_bins), relation_matrix, path_or_buff,
                      save_mode, rdf_part)

@@ -103,3 +103,26 @@ def test_triclinic_box_rejected(tmp_path):
 
     with _pytest.raises(ValueError, match="triclinic"):
         read_trajectory(str(p))
+
+
+def test_iter_trajectory_blocks_matches_read(dump_pattern):
+    from mdproptools_tpu.io.lammps_dump import (
+        iter_trajectory_blocks,
+        read_trajectory,
+    )
+
+    full = read_trajectory(dump_pattern, columns=["id", "type", "x"],
+                           max_frames=10)
+    blocks = []
+    seen = 0
+    for blk in iter_trajectory_blocks(dump_pattern,
+                                      columns=["id", "type", "x"],
+                                      block_frames=3, max_frames=10):
+        assert blk.n_frames <= 3
+        blocks.append(blk)
+        seen += blk.n_frames
+    assert seen == 10
+    data = np.concatenate([b.data for b in blocks])
+    ts = np.concatenate([b.timesteps for b in blocks])
+    np.testing.assert_array_equal(data, full.data)
+    np.testing.assert_array_equal(ts, full.timesteps)

@@ -226,3 +226,26 @@ def test_intermolecular_rdf(frame0, tmp_path):
         save_mode=False, precision="strict",
     )
     assert out_self["g_3-3"].iloc[0] > 0  # self count lands in bin 0
+
+
+def test_streaming_blocks_identical_results(tmp_path, monkeypatch):
+    """Multi-block streamed ingestion must reproduce single-block results
+    exactly (the running sum is order-identical)."""
+    import glob as globmod
+    import os
+    import pandas as pd
+
+    from mdproptools_tpu.structural import rdf_cn as mod
+
+    files = sorted(globmod.glob(
+        "/root/reference/data/mg_tfsi_dme/dump.nvt.*.dump"))[:6]
+    for i, f in enumerate(files):
+        os.symlink(f, tmp_path / f"dump.{i}.dump")
+    pattern = str(tmp_path / "dump.*.dump")
+    kw = dict(r_cut=8.0, bin_size=0.4, num_types=9, mass=MASS,
+              partial_relations=[[8], [9]], save_mode=False,
+              precision="strict")
+    df_one = mod.calc_atomic_rdf(filename=pattern, **kw)
+    monkeypatch.setattr(mod, "FRAME_BLOCK", 2)
+    df_blocks = mod.calc_atomic_rdf(filename=pattern, **kw)
+    pd.testing.assert_frame_equal(df_one, df_blocks)

@@ -1,14 +1,24 @@
 #!/usr/bin/env python
 """
-Driver benchmark: full+partial atomic RDF (400 bins, 4 partial relations)
-over the bundled 101-frame x 10,479-atom Mg(TFSI)2/DME trajectory on the
-real TPU (fast/f32 path, on-device frame scan), versus the
-reference-equivalent single-core float64 NumPy pair loop measured on this
-machine (the reference itself cannot run here: pymatgen/numba absent).
+Driver benchmark: the BASELINE.md tracked metrics on the real TPU.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": frames/sec on TPU, "unit": "frames/sec",
-   "vs_baseline": speedup vs reference-equivalent oracle}
+Measures, end to end on the bundled 101-frame x 10,479-atom
+Mg(TFSI)2/DME trajectory (fast/f32 path unless noted):
+  1. RDF (400 bins + 4 partial relations) frames/sec — the headline —
+     vs the reference-equivalent single-core float64 NumPy pair loop
+     measured on this machine (the reference itself cannot run here:
+     pymatgen/numba absent);
+  2. MSD (molecular COM) + diffusion fit wall-clock;
+  3. Green-Kubo conductivity pipeline wall-clock (charge flux ->
+     batched FFT correlation -> integral -> plateau fit -> sigma);
+  4. the tri-property composite wall-clock (RDF + MSD + GK);
+  5. RDF ms/frame at 41,916 atoms (the bundled box tiled 2x2x1 — the
+     north-star 50k-atom scale);
+  6. a real-TPU bit-parity check: compiled Pallas triangle+sort kernel
+     vs the XLA scatter path on one frame (exact equality required).
+
+Prints ONE JSON line (the headline metric, the driver contract) and
+persists every row to benchmarks/latest.json + benchmarks/history.jsonl.
 
 Timing methodology: the axon backend's block_until_ready does not block,
 so every timed region ends with an actual host fetch.
@@ -23,31 +33,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA = "/root/reference/data/mg_tfsi_dme/dump.nvt.*.dump"
+DATA_DIR = "/root/reference/data/mg_tfsi_dme"
+MASS = [16.0, 12.01, 1.008, 14.01, 32.06, 16.0, 12.01, 19.0, 24.305]
+NUM_MOLS = [591, 66, 33]
+NUM_ATOMS_PER_MOL = [16, 15, 1]
 
-def main():
-    import jax  # noqa: E402
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    import jax.numpy as jnp  # noqa: E402
-
-    from mdproptools_tpu.io.lammps_dump import read_trajectory  # noqa: E402
-    from mdproptools_tpu.structural import rdf_cn  # noqa: E402
-
-    data = "/root/reference/data/mg_tfsi_dme/dump.nvt.*.dump"
+def bench_rdf(jnp, rdf_cn, traj_cache):
     r_cut, bin_size, n_bins = 20.0, 0.05, 400
     relations = np.array([[8, 1], [8, 4], [8, 6], [8, 8]])
-
-    traj = read_trajectory(data, columns=["id", "type", "x", "y", "z"])
-    codes = traj.col("type")[0].astype(np.int64)
-    pos = traj.cols(["x", "y", "z"])
-    lengths = traj.box_lengths
-    counts = np.bincount(codes - 1, minlength=9).astype(np.float64)
+    pos, codes, lengths, counts = traj_cache
     T = pos.shape[0]
 
     def run():
@@ -59,34 +56,182 @@ def main():
 
     run()  # warm: compile (persistent-cached across rounds) + first pass
     t0 = time.time()
-    g_full, g_part = run()  # _rdf_mean ends with host fetches per block
-    tpu_time = time.time() - t0
-    tpu_fps = T / tpu_time
+    g_full, g_part = run()  # ends with host fetches per block
+    dt = time.time() - t0
     assert np.isfinite(g_full).all() and abs(g_full[-1] - 1.0) < 0.05, (
         "RDF sanity failed: g(r->r_cut) != 1"
     )
+    return T / dt, dt
+
+
+def bench_rdf_50k(jnp, rdf_cn, traj_cache):
+    """RDF at the north-star 50k-atom scale: bundled box tiled 2x2x1."""
+    pos, codes, lengths, _ = traj_cache
+    L = lengths[0]
+    reps = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0)]
+    pos50 = np.concatenate([pos[0] + np.array(r) * L for r in reps])
+    codes50 = np.tile(codes, len(reps))
+    len50 = np.array([L[0] * 2, L[1] * 2, L[2]])
+    T = 4
+    posT = np.broadcast_to(pos50, (T,) + pos50.shape).copy()
+    lenT = np.broadcast_to(len50, (T, 3)).copy()
+    counts50 = np.bincount(codes50 - 1, minlength=9).astype(np.float64)
+    relations = np.array([[8, 1], [8, 4], [8, 6], [8, 8]])
+
+    def run():
+        return rdf_cn._rdf_mean(
+            posT, codes50, 9, lenT, 0.05, 400, 20.0, relations,
+            counts50, counts50, exclude_self=True, with_full=True,
+            dtype=jnp.float32,
+        )
+
+    g_full, _ = run()
+    t0 = time.time()
+    g_full, _ = run()
+    dt = time.time() - t0
+    assert abs(float(g_full[-1]) - 1.0) < 0.05
+    return pos50.shape[0], dt / T * 1000.0  # (atoms, ms/frame)
+
+
+def bench_msd():
+    from mdproptools_tpu.dynamical.diffusion import Diffusion
+
+    t0 = time.time()
+    d = Diffusion(timestep=1, units="real", outputs_dir=DATA_DIR,
+                  diff_dir="/tmp/bench_msd")
+    os.makedirs("/tmp/bench_msd", exist_ok=True)
+    msd, _ = d.get_msd_from_dump(
+        "dump.nvt.*.dump", msd_type="com", num_mols=NUM_MOLS,
+        num_atoms_per_mol=NUM_ATOMS_PER_MOL, mass=MASS, precision="fast",
+    )
+    diff = d.calc_diff(msd, dimension=3, save=False, plot=False)
+    dt = time.time() - t0
+    assert np.isfinite(diff["diffusion (m2/s)"].to_numpy()).all()
+    return dt
+
+
+def bench_gk():
+    from mdproptools_tpu.dynamical.conductivity import Conductivity
+
+    t0 = time.time()
+    cond = Conductivity(
+        "dump.nvt.*.dump", NUM_MOLS, NUM_ATOMS_PER_MOL,
+        volume=49.182349 ** 3, mass=MASS, temp=298.15, timestep=1,
+        units="real", working_dir=DATA_DIR, precision="fast",
+    )
+    j = cond.get_charge_flux()
+    tot = cond.correlate_charge_flux(j)
+    integ = cond.integrate_charge_flux_correlation(tot)
+    # 101 widely-spaced frames -> noisy ACF; escalate tol until the
+    # plateau detector finds a window (reference behavior on sparse data)
+    for tol in (1e-4, 1e-2, 0.5, 1.0, 2.0):
+        try:
+            ave, _ = cond.fit_curve(tot, integ, tol=tol)
+            break
+        except ValueError:
+            continue
+    sigma = cond.green_kubo(ave)
+    dt = time.time() - t0
+    assert np.isfinite(sigma).all()
+    return dt
+
+
+def tpu_bit_parity(jnp, traj_cache):
+    """Compiled Pallas (triangle + device sort + cull) vs XLA scatter on
+    one real frame, both f32 on the TPU: counts must be EXACTLY equal."""
+    from mdproptools_tpu.ops import pairs as pair_ops
+
+    pos, codes, lengths, _ = traj_cache
+    lay = pair_ops.build_type_layout(codes, 9)
+    L = jnp.asarray(lengths[0], jnp.float32)
+    p = jnp.asarray(pos[0], jnp.float32)
+    pm = pair_ops.device_sort_perm(p, lay, L, pair_ops.pick_ncell(len(codes)))
+    pr = pair_ops.gather_padded_perm(p, pm)
+    nc = lay.n_padded // pair_ops.LANE
+    got = np.asarray(pair_ops.pair_hist_rows(
+        pr.reshape(nc, pair_ops.LANE, 3), pm.reshape(nc, pair_ops.LANE),
+        jnp.asarray(lay.chunk_codes), pr, lay, n_codes_r=9, lengths=L,
+        bin_size=0.05, n_bins=400, r_cut=20.0, exclude_self=True,
+        dtype=jnp.float32, idx_c=pm, method="pallas", triangle=True))
+    pp = pair_ops.gather_padded(p, lay)
+    want = np.asarray(pair_ops.pair_hist(
+        pp, pp, lay, lay, L, 0.05, 400, 20.0, True, dtype=jnp.float32,
+        method="scatter"))
+    return bool(np.array_equal(got, want))
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(HERE, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp  # noqa: E402
+
+    from mdproptools_tpu.io.lammps_dump import read_trajectory  # noqa: E402
+    from mdproptools_tpu.structural import rdf_cn  # noqa: E402
+
+    traj = read_trajectory(DATA, columns=["id", "type", "x", "y", "z"])
+    codes = traj.col("type")[0].astype(np.int64)
+    traj_cache = (
+        traj.cols(["x", "y", "z"]),
+        codes,
+        traj.box_lengths,
+        np.bincount(codes - 1, minlength=9).astype(np.float64),
+    )
+    T = traj_cache[0].shape[0]
+
+    rdf_fps, rdf_dt = bench_rdf(jnp, rdf_cn, traj_cache)
+    msd_dt = bench_msd()
+    gk_dt = bench_gk()
+    parity_ok = tpu_bit_parity(jnp, traj_cache)
+    n50, ms50 = bench_rdf_50k(jnp, rdf_cn, traj_cache)
 
     # reference-equivalent baseline: single-core float64 NumPy pair loop
-    # (blocked exactly like tests/oracle.py), one frame, extrapolated
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "tests"))
+    # (blocked exactly like tests/oracle.py), best of 2 one-frame runs
+    sys.path.insert(0, os.path.join(HERE, "tests"))
     import oracle  # noqa: E402
 
-    # best of 2 single-frame runs: conservative (highest) baseline fps
-    base_time_per_frame = float("inf")
+    relations = [(8, 1), (8, 4), (8, 6), (8, 8)]
+    base_time = float("inf")
     for _ in range(2):
         t0 = time.time()
-        oracle.rdf_loop(pos[0], codes, lengths[0], r_cut, bin_size,
-                        [tuple(r) for r in relations])
-        base_time_per_frame = min(base_time_per_frame, time.time() - t0)
-    base_fps = 1.0 / base_time_per_frame
+        oracle.rdf_loop(traj_cache[0][0], codes, traj_cache[2][0], 20.0,
+                        0.05, relations)
+        base_time = min(base_time, time.time() - t0)
+    base_fps = 1.0 / base_time
 
+    rows = {
+        "rdf_frames_per_s_10479_atoms": round(rdf_fps, 3),
+        "rdf_speedup_vs_numpy_oracle": round(rdf_fps * base_time, 2),
+        "msd_com_end_to_end_s": round(msd_dt, 3),
+        "gk_conductivity_end_to_end_s": round(gk_dt, 3),
+        "composite_rdf_msd_gk_s_101x10479": round(rdf_dt + msd_dt + gk_dt, 3),
+        "rdf_ms_per_frame_41916_atoms": round(ms50, 1),
+        "tpu_pallas_vs_scatter_bit_parity": parity_ok,
+        "frames": int(T),
+        "backend": jax.default_backend(),
+        "unix_time": int(time.time()),
+    }
+    os.makedirs(os.path.join(HERE, "benchmarks"), exist_ok=True)
+    with open(os.path.join(HERE, "benchmarks", "latest.json"), "w") as fh:
+        json.dump(rows, fh, indent=1)
+    with open(os.path.join(HERE, "benchmarks", "history.jsonl"), "a") as fh:
+        fh.write(json.dumps(rows) + "\n")
+
+    assert parity_ok, "TPU Pallas vs scatter bit-parity FAILED"
     print(json.dumps({
         "metric": ("RDF frames/sec, 10479 atoms x 101 frames, 400 bins + 4 "
-                   "partials, TPU f32 vs single-core f64 NumPy pair loop"),
-        "value": round(tpu_fps, 3),
+                   "partials, TPU f32 vs single-core f64 NumPy pair loop "
+                   f"(composite RDF+MSD+GK {rows['composite_rdf_msd_gk_s_101x10479']}s, "
+                   f"42k atoms {rows['rdf_ms_per_frame_41916_atoms']} ms/frame, "
+                   f"pallas bit-parity {parity_ok})"),
+        "value": round(rdf_fps, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(tpu_fps / base_fps, 2),
+        "vs_baseline": round(rdf_fps * base_time, 2),
     }))
 
 

@@ -76,7 +76,14 @@ class Conductivity:
     def detect_time_range(flux, tol):
         """Plateau detector (``conductivity.py:117-165``): discretize,
         per-group std, normalized against the std of stds, rolling-median
-        of the below-tol mask, longest run wins."""
+        of the below-tol mask, longest run wins.
+
+        PARITY-PINNED TRANSLITERATION: this heuristic's exact pandas
+        groupby-transform / rolling-median / run-scan sequence decides
+        the integration window, and the window directly changes the
+        reported conductivity — any "cleaner" reformulation changes
+        results. It is therefore kept operation-for-operation equal to
+        the reference (variable names aside), deliberately."""
         flux = pd.Series(np.asarray(flux), name="flux")
         time_step = max(int(len(flux) / 10000), 5)
         ind = [i // time_step for i in range(len(flux))]

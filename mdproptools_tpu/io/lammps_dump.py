@@ -52,13 +52,17 @@ class Box:
 class Frame:
     """One trajectory frame. ``data`` is an (N, C) float64 array whose
     columns are named by ``columns``; rows are sorted by atom id when an
-    ``id`` column exists."""
+    ``id`` column exists. Non-numeric dump columns (e.g. ``element``)
+    live in ``str_data`` as (N,) string arrays, row-aligned with
+    ``data`` (pymatgen's parser keeps them in the DataFrame; reference
+    consumer: ``cluster_analysis.py:132-133``)."""
 
     timestep: int
     natoms: int
     box: Box
     columns: List[str]
     data: np.ndarray  # (N, C) float64
+    str_data: dict = field(default_factory=dict)
 
     _index: dict = field(default_factory=dict, repr=False)
 
@@ -66,6 +70,8 @@ class Frame:
         self._index = {c: i for i, c in enumerate(self.columns)}
 
     def col(self, name: str) -> np.ndarray:
+        if name in self.str_data:
+            return self.str_data[name]
         return self.data[:, self._index[name]]
 
     def cols(self, names: Sequence[str]) -> np.ndarray:
@@ -73,10 +79,13 @@ class Frame:
         return self.data[:, idx]
 
     def has(self, name: str) -> bool:
-        return name in self._index
+        return name in self._index or name in self.str_data
 
     def to_dataframe(self) -> pd.DataFrame:
-        return pd.DataFrame(self.data, columns=self.columns)
+        df = pd.DataFrame(self.data, columns=self.columns)
+        for name, vals in self.str_data.items():
+            df[name] = vals
+        return df
 
 
 def _sort_files_by_wildcard(pattern: str, files: List[str]) -> List[str]:
@@ -108,6 +117,31 @@ def _parse_body(text: str, ncols: int) -> np.ndarray:
         _io.StringIO(text), sep=r"\s+", header=None, dtype=np.float64, engine="c"
     )
     return df.to_numpy()
+
+
+def _sniff_str_columns(text: str, columns: List[str]) -> List[int]:
+    """Indices of non-numeric columns, sniffed from the first body line
+    (LAMMPS dump columns are homogeneously typed)."""
+    first = text.split("\n", 1)[0].split()
+    out = []
+    for k, tok in enumerate(first[: len(columns)]):
+        try:
+            float(tok)
+        except ValueError:
+            out.append(k)
+    return out
+
+
+def _parse_mixed_body(text: str, columns: List[str], str_idx: List[int]):
+    """Parse a body with string columns (e.g. ``element``): numeric
+    columns -> (N, n_num) float64, string columns -> dict of (N,) str."""
+    df = pd.read_csv(_io.StringIO(text), sep=r"\s+", header=None,
+                     names=columns, engine="c")
+    str_names = [columns[k] for k in str_idx]
+    num_names = [c for c in columns if c not in str_names]
+    data = df[num_names].to_numpy(np.float64)
+    str_data = {c: df[c].to_numpy(str) for c in str_names}
+    return num_names, data, str_data
 
 
 def parse_frames_from_text(text: str, sort_by_id: bool = True) -> Iterator[Frame]:
@@ -165,16 +199,25 @@ def parse_frames_from_text(text: str, sort_by_id: bool = True) -> Iterator[Frame
         next_item = text.find("ITEM: TIMESTEP", body_start)
         body_end = next_item if next_item != -1 else n
         body = text[body_start:body_end]
-        data = _parse_body(body, len(columns))
+        str_idx = _sniff_str_columns(body, columns)
+        if str_idx:
+            num_columns, data, str_data = _parse_mixed_body(
+                body, columns, str_idx)
+        else:
+            num_columns, str_data = columns, {}
+            data = _parse_body(body, len(columns))
         if data.shape[0] != natoms:
             raise ValueError(
                 f"dump frame at timestep {timestep}: expected {natoms} atoms, "
                 f"parsed {data.shape[0]}"
             )
-        if sort_by_id and "id" in columns:
-            order = np.argsort(data[:, columns.index("id")], kind="stable")
+        if sort_by_id and "id" in num_columns:
+            order = np.argsort(data[:, num_columns.index("id")],
+                               kind="stable")
             data = data[order]
-        yield Frame(timestep, natoms, Box(bounds, periodic, tilt), columns, data)
+            str_data = {c: v[order] for c, v in str_data.items()}
+        yield Frame(timestep, natoms, Box(bounds, periodic, tilt),
+                    num_columns, data, str_data)
         pos = body_end
 
 
@@ -266,6 +309,13 @@ def peek_dump_columns(pattern: str) -> List[str]:
 def _stack_frames(frames: List[Frame],
                   columns: Optional[Sequence[str]]) -> Trajectory:
     keep = list(columns) if columns is not None else list(frames[0].columns)
+    bad = [c for c in keep if c in frames[0].str_data]
+    if bad:
+        raise ValueError(
+            f"string-valued dump columns {bad} cannot be stacked into a "
+            "numeric Trajectory; iterate parse_lammps_dumps frames and "
+            "read them via Frame.col()"
+        )
     n_atoms = frames[0].natoms
     data = np.empty((len(frames), n_atoms, len(keep)), np.float64)
     timesteps = np.empty(len(frames), np.int64)
@@ -305,6 +355,35 @@ def iter_trajectory_blocks(
             break
     if frames:
         yield _stack_frames(frames, columns)
+
+
+def prefetch_iter(iterable, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue so
+    host-side parsing overlaps device compute (double buffering when
+    depth=2). Exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def feed():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as exc:  # noqa: BLE001 - re-raised below
+            q.put(exc)
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def read_trajectory(

@@ -3,17 +3,29 @@ LAMMPS thermo-log parser (replaces the reference's
 ``pymatgen...parse_lammps_log``, used at ``viscosity.py:211``,
 ``log.py:21``, ``diffusion.py:258``).
 
-A log file contains one thermo section per run: a header line whose first
-token is ``Step`` (one-line thermo style), followed by all-numeric rows,
-terminated by the first non-numeric line (``Loop time of ...``, a
-warning, or EOF). Returns one DataFrame per section, like the reference
-parser.
+Handles the thermo styles pymatgen's parser covers:
+
+- ``one`` / ``custom`` styles: a header line of column names (any
+  order — ``Step`` need not be first) followed by all-numeric rows,
+  terminated by the first non-conforming line (``Loop time of ...``, a
+  warning, or EOF);
+- ``multi`` style: per-step blocks introduced by
+  ``---- Step N ----- CPU = x (sec) ----`` followed by lines of
+  ``Name = value`` triplets; consecutive step blocks form one section.
+
+Returns one DataFrame per thermo section, like the reference parser.
 """
 
+import re
 from typing import List
 
 import numpy as np
 import pandas as pd
+
+_IDENT = re.compile(r"^[A-Za-z_][\w\[\]/.\-]*$")
+_MULTI_STEP = re.compile(
+    r"^-+\s*Step\s+(\d+)\s*-+\s*CPU\s*=\s*([0-9.eE+-]+)\s*(?:\(sec\))?\s*-*"
+)
 
 
 def _is_numeric_row(tokens: List[str]) -> bool:
@@ -27,6 +39,16 @@ def _is_numeric_row(tokens: List[str]) -> bool:
     return True
 
 
+def _is_header_row(tokens: List[str]) -> bool:
+    """A plausible thermo header: >= 2 identifier-like tokens including
+    a ``Step`` column (every LAMMPS thermo_style prints Step)."""
+    return (
+        len(tokens) >= 2
+        and "Step" in tokens
+        and all(_IDENT.match(t) for t in tokens)
+    )
+
+
 def parse_lammps_log(filename: str) -> List[pd.DataFrame]:
     """Parse every thermo section of a LAMMPS log into DataFrames."""
     with open(filename, "r") as fh:
@@ -35,9 +57,42 @@ def parse_lammps_log(filename: str) -> List[pd.DataFrame]:
     sections: List[pd.DataFrame] = []
     i = 0
     n = len(lines)
+    multi_rows: List[dict] = []  # accumulating 'multi' step blocks
+
+    def flush_multi():
+        nonlocal multi_rows
+        if multi_rows:
+            sections.append(pd.DataFrame(multi_rows))
+            multi_rows = []
+
     while i < n:
+        if not lines[i].strip():  # blank lines don't break a section
+            i += 1
+            continue
         tokens = lines[i].split()
-        if tokens and tokens[0] == "Step":
+        m = _MULTI_STEP.match(lines[i])
+        if m:
+            row = {"Step": float(m.group(1)), "CPU": float(m.group(2))}
+            i += 1
+            while i < n:
+                parts = lines[i].replace("=", " = ").split()
+                # lines of repeated "Name = value" triplets
+                if (len(parts) >= 3 and len(parts) % 3 == 0
+                        and all(parts[k] == "=" for k in range(1, len(parts), 3))
+                        and all(_IDENT.match(parts[k])
+                                for k in range(0, len(parts), 3))
+                        and _is_numeric_row(parts[2::3])):
+                    for k in range(0, len(parts), 3):
+                        row[parts[k]] = float(parts[k + 2])
+                    i += 1
+                else:
+                    break
+            multi_rows.append(row)
+            continue
+        if (_is_header_row(tokens) and i + 1 < n
+                and len(lines[i + 1].split()) == len(tokens)
+                and _is_numeric_row(lines[i + 1].split())):
+            flush_multi()
             header = tokens
             rows = []
             i += 1
@@ -51,8 +106,10 @@ def parse_lammps_log(filename: str) -> List[pd.DataFrame]:
             if rows:
                 data = np.array(rows, dtype=np.float64)
                 sections.append(pd.DataFrame(data, columns=header))
-        else:
-            i += 1
+            continue
+        flush_multi()
+        i += 1
+    flush_multi()
     return sections
 
 

@@ -1,19 +1,29 @@
 """
 High-throughput multi-trajectory sweeps (BASELINE config: "batched
-RDF/MSD/GK over 100+ trajectories frame-sharded across a mesh").
+RDF/MSD/GK over 100+ trajectories").
 
-A sweep amortizes one compiled kernel across many trajectories of the
-same system (same atom count/types — the usual replicate/ensemble
-setting): the pair-kernel program is compiled once, each trajectory's
-frames stream through it, and per-trajectory results return as one
-stacked structure. With a mesh, each trajectory's frames additionally
-shard over the ``frames`` axis (see ``mdproptools_tpu.parallel.mesh``).
+A sweep amortizes ONE compiled device program across many trajectories
+of the same system (same atom count/types — the replicate/ensemble
+setting): ``sweep_rdf`` builds the per-frame step once
+(``rdf_cn._make_rdf_step``) and streams every trajectory's frame blocks
+through the same jitted block runner, with host-side parsing prefetched
+on a background thread so parse and device compute overlap. Without the
+sweep, each ``calc_atomic_rdf`` call retraces and recompiles its own
+program. ``rdf_cn._trace_log`` records block-program traces (the tests
+assert exactly one per block shape across the whole sweep).
+
+Multi-chip: the sweep composes with the ``frames``-axis mesh in
+``mdproptools_tpu.parallel.mesh`` by sharding each block's frames
+(see ``sharded_rdf_hist``); the single-controller sweep itself is
+device-count-agnostic.
 """
 
 from typing import Optional, Sequence
 
+import numpy as np
 import pandas as pd
 
+from mdproptools_tpu.io.lammps_dump import prefetch_iter
 from mdproptools_tpu.utilities.tracing import stage
 
 
@@ -29,24 +39,55 @@ def sweep_rdf(
     precision="fast",
     labels: Optional[Sequence[str]] = None,
 ) -> pd.DataFrame:
-    """Atomic RDF for many trajectories; kernel compiled once.
+    """Atomic RDF for many same-system trajectories through ONE compiled
+    block program, with parse/compute overlap.
 
     Returns a long-format DataFrame with a ``trajectory`` column
     prepended to the per-trajectory RDF columns.
     """
-    from mdproptools_tpu.structural.rdf_cn import calc_atomic_rdf
+    from mdproptools_tpu.ops.precision import resolve_dtype
+    from mdproptools_tpu.structural import rdf_cn
 
     labels = list(labels) if labels is not None else [
         str(f) for f in filenames
     ]
+    dtype = resolve_dtype(precision)
+
+    # shared metadata + ONE step/block program from the first trajectory
+    first, _ = rdf_cn._open_stream(filenames[0])
+    codes, n_codes, _ = rdf_cn._atom_codes(first, num_types, num_mols,
+                                           num_atoms_per_mol)
+    num_bins = int(r_cut / bin_size)
+    relation_matrix = np.asarray(partial_relations).T
+    code_counts = np.bincount(codes - 1,
+                              minlength=n_codes).astype(np.float64)
+    rdf_cn._check_relations(relation_matrix, code_counts, n_codes,
+                            first.box_lengths.prod(axis=1), "atom")
+    step, nrows = rdf_cn._make_rdf_step(
+        codes, n_codes, first.n_atoms, first.box_lengths, bin_size,
+        num_bins, float(r_cut), relation_matrix, code_counts, code_counts,
+        exclude_self=True, with_full=True, dtype=dtype,
+    )
+    run_block = rdf_cn._make_block_runner(step, (nrows, num_bins), dtype)
+
+    def traj_blocks(f):
+        def gen():
+            _, blocks = rdf_cn._open_stream(f)
+            for blk in blocks():
+                yield blk.cols(["x", "y", "z"]), None, blk.box_lengths
+
+        # background parse thread: next block parses while the device
+        # runs the current one
+        return prefetch_iter(gen(), depth=2)
+
+    radii = rdf_cn._radii(bin_size, num_bins)
     out = []
     for name, f in zip(labels, filenames):
         with stage("sweep_rdf", trajectory=name):
-            df = calc_atomic_rdf(
-                r_cut, bin_size, num_types, mass, partial_relations, f,
-                num_mols=num_mols, num_atoms_per_mol=num_atoms_per_mol,
-                save_mode=False, precision=precision,
-            )
+            rows = rdf_cn._run_stream(run_block, (nrows, num_bins),
+                                      traj_blocks(f), dtype)
+        df = rdf_cn._save_rdf(radii, relation_matrix, None, False,
+                              rows[1:], rows[0])
         df.insert(0, "trajectory", name)
         out.append(df)
     return pd.concat(out, ignore_index=True)

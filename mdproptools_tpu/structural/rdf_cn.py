@@ -166,18 +166,19 @@ def _array_blocks(pos, lengths, pos_cols=None):
                lengths[s:e])
 
 
-def _scan_frame_mean(step_fn, out_shape, blocks, dtype):
-    """Mean over frames of ``step_fn(pos_t, pos_cols_t, L_t)`` computed as
-    an on-device running sum (``lax.scan`` over frame blocks from the
-    ``blocks`` iterator of (pos_b, pos_cols_b|None, lengths_b) host
-    arrays), fetched once per block, divided by the frame count on host —
-    the reference's accumulate-then-divide order (``rdf_cn.py:514-521``).
-    Host/device memory stays O(block), independent of trajectory length.
-    """
+_trace_log: list = []  # appended at block-program trace time (test hook)
+
+
+def _make_block_runner(step_fn, out_shape, dtype):
+    """One jitted frame-block program: scans ``step_fn(pos, pos_cols, L)``
+    over the block and returns the block's summed rows. Reused across
+    trajectories by the sweep layer (compiled once per block shape)."""
     acc_dtype = jnp.float32 if dtype == jnp.float32 else dtype
 
     @jax.jit
     def run_block(pos_b, pos_cols_b, lengths_b):
+        _trace_log.append(out_shape)
+
         def step(acc, xs):
             p, pc, L = xs
             return acc + step_fn(p, pc, L).astype(acc.dtype), None
@@ -186,9 +187,14 @@ def _scan_frame_mean(step_fn, out_shape, blocks, dtype):
         acc, _ = jax.lax.scan(step, acc0, (pos_b, pos_cols_b, lengths_b))
         return acc
 
-    # exact-size blocks (no padding: a padded frame would still run the
-    # full O(N^2) kernel); jit caches one program per distinct block size,
-    # of which there are at most two (FRAME_BLOCK and the remainder).
+    return run_block
+
+
+def _run_stream(run_block, out_shape, blocks, dtype):
+    """Stream (pos_b, pos_cols_b|None, lengths_b) host blocks through a
+    block runner; returns the frame mean (running sum fetched once per
+    block, divided by the streamed frame count on host — the reference's
+    accumulate-then-divide order, ``rdf_cn.py:514-521``)."""
     total = np.zeros(out_shape, np.float64)
     T = 0
     for pos_b, pc_b, len_b in blocks:
@@ -203,40 +209,49 @@ def _scan_frame_mean(step_fn, out_shape, blocks, dtype):
     return total / T
 
 
-def _rdf_mean(
-    pos, codes, n_codes, lengths, bin_size, n_bins, r_cut, relation_matrix,
-    code_counts_rows, code_counts_cols, exclude_self, with_full, dtype,
-    pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort="auto",
-    blocks=None,
+def _scan_frame_mean(step_fn, out_shape, blocks, dtype):
+    """Mean over frames of ``step_fn(pos_t, pos_cols_t, L_t)`` computed as
+    an on-device running sum (``lax.scan`` over frame blocks from the
+    ``blocks`` iterator of (pos_b, pos_cols_b|None, lengths_b) host
+    arrays). Host/device memory stays O(block), independent of
+    trajectory length. jit caches one program per distinct block size,
+    of which there are at most two (FRAME_BLOCK and the remainder)."""
+    run_block = _make_block_runner(step_fn, out_shape, dtype)
+    return _run_stream(run_block, out_shape, blocks, dtype)
+
+
+def _make_rdf_step(
+    codes, n_codes, n_atoms_rows, lengths, bin_size, n_bins, r_cut,
+    relation_matrix, code_counts_rows, code_counts_cols, exclude_self,
+    with_full, dtype, n_atoms_cols=None, codes_cols=None,
+    n_codes_cols=None, spatial_sort="auto",
 ):
-    """Frame-averaged normalized RDF: returns (g_full or None, g_part).
+    """Build the per-frame RDF step function once (layouts, kernel and
+    sort policy, normalization constants) so the sweep layer can reuse
+    ONE compiled block program across many same-system trajectories.
+    Returns (step, nrows) where step(pos, pos_cols, lengths) -> the
+    normalized per-frame rows and nrows = R + (1 if with_full).
 
-    ``blocks``: optional iterator of (pos_b, pos_cols_b|None, lengths_b)
-    host blocks for streaming ingestion (``pos``/``lengths`` then only
-    inform shapes and the kernel policy — pass the first block). When
-    None, ``pos``/``pos_cols``/``lengths`` are full arrays.
-
-    Per-frame normalization happens inside the device scan with the
-    reference's exact operation order: rho_b = count_b / V first, then
-    counts / (N_a * rho_b * Vshell) (``rdf_cn.py:288-329``).
+    Per-frame normalization uses the reference's exact operation order:
+    rho_b = count_b / V first, then counts / (N_a * rho_b * Vshell)
+    (``rdf_cn.py:288-329``).
 
     Fast-path structure for the self (atom-atom / COM-COM) case on TPU:
-    per frame, an on-device Morton sort makes 128-atom tiles spatially
+    per frame, an on-device Hilbert sort makes 128-atom tiles spatially
     compact (so the Pallas kernel's tile cull skips far tile pairs), and
     triangle mode computes each off-diagonal tile pair once, mirroring by
     hist[ta, tb] == hist[tb, ta]. Both are exact-count-preserving — the
     results are bit-identical to the dense unsorted path.
     """
+    self_case = n_atoms_cols is None
     layout_r = pair_ops.build_type_layout(codes, n_codes)
     layout_c = (
         layout_r
-        if pos_cols is None
+        if self_case
         else pair_ops.build_type_layout(codes_cols, n_codes_cols)
     )
     shell = _shell_volumes(bin_size, n_bins)
-    R = relation_matrix.shape[0]
     n_rows_total = int(code_counts_rows.sum())
-    self_case = pos_cols is None
 
     on_tpu = jax.default_backend() not in ("cpu",)
     use_pallas = on_tpu and dtype == jnp.float32 and n_bins <= 1024
@@ -269,10 +284,10 @@ def _rdf_mean(
                      == relation_matrix.shape[0])
     use_rel = use_pallas and distinct_rels and sort_on and kept_est < 0.15
     ncell = pair_ops.pick_ncell(n_rows_total)
-    n_pad_r = -(-pos.shape[1] // pair_ops.LANE) * pair_ops.LANE
+    n_pad_r = -(-n_atoms_rows // pair_ops.LANE) * pair_ops.LANE
     codes0_r = jnp.asarray(np.asarray(codes) - 1, jnp.float32)
     if not self_case:
-        n_pad_c = -(-pos_cols.shape[1] // pair_ops.LANE) * pair_ops.LANE
+        n_pad_c = -(-n_atoms_cols // pair_ops.LANE) * pair_ops.LANE
         codes0_c = jnp.asarray(np.asarray(codes_cols) - 1, jnp.float32)
     relations0 = np.asarray(relation_matrix, np.int64) - 1
 
@@ -342,7 +357,32 @@ def _rdf_mean(
             rows.append(rels[r].astype(sdtype) / (n_a * rho_b * shell_d))
         return jnp.stack(rows)
 
-    nrows = R + (1 if with_full else 0)
+    nrows = relation_matrix.shape[0] + (1 if with_full else 0)
+    return step, nrows
+
+
+def _rdf_mean(
+    pos, codes, n_codes, lengths, bin_size, n_bins, r_cut, relation_matrix,
+    code_counts_rows, code_counts_cols, exclude_self, with_full, dtype,
+    pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort="auto",
+    blocks=None,
+):
+    """Frame-averaged normalized RDF: returns (g_full or None, g_part).
+
+    ``blocks``: optional iterator of (pos_b, pos_cols_b|None, lengths_b)
+    host blocks for streaming ingestion (``pos``/``lengths`` then only
+    inform shapes and the kernel policy — pass the first block). When
+    None, ``pos``/``pos_cols``/``lengths`` are full arrays. See
+    ``_make_rdf_step`` for the per-frame math and fast-path structure.
+    """
+    step, nrows = _make_rdf_step(
+        codes, n_codes, pos.shape[1], lengths, bin_size, n_bins, r_cut,
+        relation_matrix, code_counts_rows, code_counts_cols, exclude_self,
+        with_full, dtype,
+        n_atoms_cols=None if pos_cols is None else pos_cols.shape[1],
+        codes_cols=codes_cols, n_codes_cols=n_codes_cols,
+        spatial_sort=spatial_sort,
+    )
     if blocks is None:
         blocks = _array_blocks(pos, lengths, pos_cols)
     out = _scan_frame_mean(step, (nrows, n_bins), blocks, dtype)

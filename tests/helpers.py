@@ -25,3 +25,17 @@ def write_traj(dirpath, timesteps, box_lo, box_hi, columns, frames,
         write_dump(p, ts, box_lo, box_hi, columns, data)
         paths.append(p)
     return f"{dirpath}/{prefix}.*.dump"
+
+
+def write_dump_mixed(path, timestep, box_lo, box_hi, columns, rows):
+    """Write one frame whose ``rows`` are lists of already-formatted
+    tokens (supports string columns like ``element``)."""
+    with open(path, "w") as fh:
+        fh.write("ITEM: TIMESTEP\n%d\n" % timestep)
+        fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % len(rows))
+        fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+        for ax in range(3):
+            fh.write(f"{box_lo:.16e} {box_hi:.16e}\n")
+        fh.write("ITEM: ATOMS " + " ".join(columns) + " \n")
+        for row in rows:
+            fh.write(" ".join(str(v) for v in row) + " \n")

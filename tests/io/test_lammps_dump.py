@@ -126,3 +126,42 @@ def test_iter_trajectory_blocks_matches_read(dump_pattern):
     ts = np.concatenate([b.timesteps for b in blocks])
     np.testing.assert_array_equal(data, full.data)
     np.testing.assert_array_equal(ts, full.timesteps)
+
+
+def test_element_string_column(tmp_path):
+    """Dumps with a non-numeric ``element`` column parse into Frame
+    string data (pymatgen parity; reference consumer
+    cluster_analysis.py:132-133); numeric Trajectory stacking refuses
+    string columns with a clear error."""
+    import pytest
+
+    from helpers import write_dump_mixed
+    from mdproptools_tpu.io.lammps_dump import (
+        parse_lammps_dumps,
+        read_trajectory,
+    )
+
+    p = tmp_path / "dump.el.0.dump"
+    # deliberately unsorted ids to exercise string-row reordering
+    rows = [
+        [2, 1, "C", 1.0, 2.0, 3.0],
+        [1, 2, "O", 4.0, 5.0, 6.0],
+        [3, 1, "C", 7.0, 8.0, 9.0],
+    ]
+    write_dump_mixed(str(p), 0, 0.0, 10.0,
+                     ["id", "type", "element", "x", "y", "z"], rows)
+    fr = next(parse_lammps_dumps(str(p)))
+    assert fr.has("element")
+    np.testing.assert_array_equal(fr.col("element"),
+                                  np.array(["O", "C", "C"]))
+    np.testing.assert_array_equal(fr.col("id"), [1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(fr.col("x"), [4.0, 1.0, 7.0])
+    assert "element" not in fr.columns  # numeric columns only
+    df = fr.to_dataframe()
+    assert list(df["element"]) == ["O", "C", "C"]
+    # numeric-only trajectory stacking works; requesting the string
+    # column is a clear error
+    traj = read_trajectory(str(p), columns=["id", "x"])
+    assert traj.data.shape == (1, 3, 2)
+    with pytest.raises(ValueError, match="string-valued"):
+        read_trajectory(str(p), columns=["element", "x"])

@@ -75,3 +75,27 @@ def test_sweep_conductivity(replicate_dirs):
     )
     assert list(df["trajectory"]) == ["a", "b", "c", "mean", "std"]
     assert np.isfinite(df["sigma_total"].to_numpy(np.float64)).all()
+
+
+def test_sweep_rdf_single_program_and_parity(replicate_dirs):
+    """The sweep must (a) trace/compile exactly ONE block program per
+    block shape across all trajectories, and (b) match per-trajectory
+    calc_atomic_rdf results exactly."""
+    import pandas as pd
+
+    from mdproptools_tpu.structural import rdf_cn
+
+    rdf_cn._trace_log.clear()
+    df = sweep_rdf(replicate_dirs, 6.0, 0.2, 2, [22.99, 35.45],
+                   [[1], [2]], precision="strict",
+                   labels=["r1", "r2", "r3"])
+    # 3 trajectories x 120 frames in one 120-frame block each -> one
+    # block shape -> exactly one trace
+    assert len(rdf_cn._trace_log) == 1, rdf_cn._trace_log
+    for label, f in zip(["r1", "r2", "r3"], replicate_dirs):
+        want = rdf_cn.calc_atomic_rdf(
+            6.0, 0.2, 2, [22.99, 35.45], [[1], [2]], f,
+            save_mode=False, precision="strict")
+        got = df[df["trajectory"] == label].drop(
+            columns="trajectory").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)

@@ -116,3 +116,54 @@ def test_zip_archival(dump_pattern, mg_tfsi_dme_dir, tmp_path):
     assert not glob.glob(f"{tmp_path}/Cluster_*.xyz")
     assert os.path.exists(f"{tmp_path}/clusters.csv")
     assert os.path.exists(f"{tmp_path}/configurations.csv")
+
+
+def test_get_clusters_elements_from_dump(tmp_path):
+    """A dump with an in-file ``element`` column must produce exactly the
+    same Cluster_*.xyz files as passing ``elements=`` explicitly
+    (reference branch cluster_analysis.py:132-133)."""
+    import filecmp
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from helpers import write_dump, write_dump_mixed
+
+    from mdproptools_tpu.structural.cluster_analysis import get_clusters
+
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    box = 12.0
+    # 3 diatomic molecules (types 1-2) + 2 single ions (type 3)
+    num_mols, napm = [3, 2], [2, 1]
+    n = 8
+    pos = rng.uniform(0, box, (n, 3))
+    types = [1, 2, 1, 2, 1, 2, 3, 3]
+    elem_of_type = {1: "C", 2: "O", 3: "Mg"}
+    cols_plain = ["id", "type", "x", "y", "z", "fx", "fy", "fz"]
+    rows_plain, rows_elem = [], []
+    for i in range(n):
+        f = rng.normal(0, 0.01, 3)
+        base = [i + 1, types[i], *(f"{v:.10g}" for v in pos[i]),
+                *(f"{v:.10g}" for v in f)]
+        rows_plain.append(base)
+        rows_elem.append(base[:2] + [elem_of_type[types[i]]] + base[2:])
+    d1 = tmp_path / "plain"; d1.mkdir()
+    d2 = tmp_path / "withel"; d2.mkdir()
+    write_dump_mixed(str(d1 / "dump.c.0.dump"), 0, 0.0, box,
+                     cols_plain, rows_plain)
+    write_dump_mixed(str(d2 / "dump.c.0.dump"), 0, 0.0, box,
+                     ["id", "type", "element", "x", "y", "z",
+                      "fx", "fy", "fz"], rows_elem)
+    n1 = get_clusters(str(d1 / "dump.c.0.dump"), 3, 6.0, num_mols, napm,
+                      frame=0, elements=["C", "O", "Mg"],
+                      working_dir=str(d1))
+    n2 = get_clusters(str(d2 / "dump.c.0.dump"), 3, 6.0, num_mols, napm,
+                      frame=0, working_dir=str(d2))
+    assert n1 == n2 > 0
+    f1 = sorted(p.name for p in d1.glob("Cluster_*.xyz"))
+    f2 = sorted(p.name for p in d2.glob("Cluster_*.xyz"))
+    assert f1 == f2 and f1
+    for name in f1:
+        assert filecmp.cmp(d1 / name, d2 / name, shallow=False), name

@@ -10,32 +10,32 @@ vector and the water bisector vector (H1 + H2 - 2 O); the hydration
 factor is the per-cation fraction of cosines < -0.72, averaged over
 cations then frames.
 
+TPU-native internals: the reference's per-frame ``mp.Pool`` fan-out
+(hydration_number.py:86-89) with a per-cation pandas loop becomes ONE
+jitted device program per frame block — a (frames, cations, waters)
+minimum-image cosine tensor plus the fully on-device hydration factor —
+streamed through ``iter_trajectory_blocks`` (bounded host memory). Only
+the ragged angles_distribution extraction (variable count of in-shell
+cosines per frame, a filesystem artifact) runs on host.
+
 Fixes vs the reference (documented divergences):
 - the reference module cannot be imported as packaged (its ``from rdf_cn
   import ...`` at hydration_number.py:8 is not package-relative);
 - a cation with no waters inside ``r_cut`` raises ZeroDivisionError in
   the reference (hydration_number.py:32); here it contributes 0 to the
   hydration factor and no angles.
-
-The per-frame math is one vectorized (cations x waters) minimum-image
-pass instead of the reference's per-cation pandas loop inside a process
-pool (hydration_number.py:70-89).
 """
 
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
 from mdproptools_tpu.common.system import System
-from mdproptools_tpu.io.lammps_dump import read_trajectory
-
-
-def _min_image(d, L):
-    c = (d > L / 2) | (d < -L / 2)
-    d = d.copy()
-    d[c] -= np.sign(d[c]) * L
-    return d
+from mdproptools_tpu.io.lammps_dump import iter_trajectory_blocks
+from mdproptools_tpu.ops.pbc import minimum_image
 
 
 def get_hydration_number(
@@ -54,7 +54,6 @@ def get_hydration_number(
     reference selects on its ``mol_type`` column,
     hydration_number.py:54-55)."""
     working_dir = working_dir or os.getcwd()
-    traj = read_trajectory(os.path.join(working_dir, dump_pattern))
     system = System(num_mols, num_atoms_per_mol)
     mol_type = system.mol_type
     cation_sel = np.nonzero(mol_type == cation_type)[0]
@@ -68,36 +67,53 @@ def get_hydration_number(
         raise ValueError("water molecule type must have >= 3 atoms")
     w_atoms = water_sel.reshape(-1, napm)  # (n_waters, atoms_per_water)
 
+    ik = jnp.asarray(cation_sel)
+    io = jnp.asarray(w_atoms[:, 0])
+    ih1 = jnp.asarray(w_atoms[:, 1])
+    ih2 = jnp.asarray(w_atoms[:, 2])
+    rc2 = float(r_cut) ** 2
+
+    @jax.jit
+    def block_fn(pos_b, len_b):
+        """(B, N, 3) -> per-frame (cos (C, W), within (C, W), factor)."""
+
+        def frame(p, L):
+            cat = p[ik]  # (C, 3)
+            o = p[io]  # (W, 3)
+            vec = p[ih1] + p[ih2] - 2.0 * o  # (W, 3)
+            # minimum-image cation - O displacement (reference
+            # _calc_rsq order: head - others)
+            d = minimum_image(cat[:, None, :] - o[None, :, :], L)
+            rsq = jnp.sum(d * d, axis=2)  # (C, W)
+            within = rsq < rc2
+            dot = jnp.einsum("cwk,wk->cw", d, vec)
+            denom = jnp.sqrt(rsq) * jnp.linalg.norm(vec, axis=1)[None, :]
+            cos = dot / jnp.where(denom == 0, 1.0, denom)
+            hits = jnp.sum(within & (cos < -0.72), axis=1)
+            totals = jnp.sum(within, axis=1)
+            per_cation = jnp.where(totals > 0, hits / jnp.maximum(totals, 1),
+                                   0.0)
+            return cos, within, per_cation.mean()
+
+        return jax.vmap(frame)(pos_b, len_b)
+
     all_cos = []
     factors = []
-    n_frames = traj.n_frames
-    pos_all = traj.cols(["x", "y", "z"])  # hoisted: cols() copies (T,N,3)
-    for t in range(n_frames):
-        pos = pos_all[t]
-        lengths = traj.box_lengths[t]
-        cat = pos[cation_sel]  # (C, 3)
-        o = pos[w_atoms[:, 0]]  # (W, 3)
-        vec = pos[w_atoms[:, 1]] + pos[w_atoms[:, 2]] - 2 * o  # (W, 3)
-        # minimum-image cation - O displacement (reference _calc_rsq order:
-        # head - others)
-        d = cat[:, None, :] - o[None, :, :]  # (C, W, 3)
-        for ax in range(3):
-            d[:, :, ax] = _min_image(d[:, :, ax], lengths[ax])
-        rsq = np.sum(d * d, axis=2)
-        within = rsq < r_cut**2
-        dot = np.einsum("cwk,wk->cw", d, vec)
-        norm1 = np.sqrt(rsq)
-        norm2 = np.linalg.norm(vec, axis=1)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cos = dot / (norm1 * norm2[None, :])
-        frame_factor = 0.0
-        for c in range(cat.shape[0]):
-            sel = within[c]
-            vals = cos[c, sel]
-            all_cos.extend(vals.tolist())
-            if vals.size:
-                frame_factor += (vals < -0.72).sum() / vals.size
-        factors.append(frame_factor / cat.shape[0])
+    for blk in iter_trajectory_blocks(
+        os.path.join(working_dir, dump_pattern),
+        columns=["id", "type", "x", "y", "z"],
+    ):
+        cos_b, within_b, fac_b = block_fn(
+            jnp.asarray(blk.cols(["x", "y", "z"])),
+            jnp.asarray(blk.box_lengths),
+        )
+        cos_b = np.asarray(cos_b)
+        within_b = np.asarray(within_b)
+        factors.extend(np.asarray(fac_b, np.float64).tolist())
+        # ragged artifact extraction (reference row order: frame, cation)
+        for t in range(cos_b.shape[0]):
+            for c in range(cos_b.shape[1]):
+                all_cos.extend(cos_b[t, c, within_b[t, c]].tolist())
 
     angles_df = pd.DataFrame(all_cos, columns=["angles_distribution"])
     angles_df["hydration_factor"] = sum(factors) / len(factors)

@@ -17,6 +17,14 @@ Fixes vs the reference (documented divergences):
   number_density.py:93-96) are reproduced exactly with an explicit
   modulo, and like the reference an atom whose bin falls outside
   [-num_bins, num_bins) raises IndexError.
+
+Altitude decision (deliberate): the per-frame work is ONE O(N) masked
+binning pass with data-dependent failure semantics (the IndexError
+above) and no reuse across frames — there is no MXU/VPU win to harvest,
+and porting the wraparound/IndexError quirks into lax control flow
+would only obscure them. It therefore stays host NumPy per frame, but
+ingestion streams through ``iter_trajectory_blocks`` so host memory is
+O(block x N) for any trajectory length.
 """
 
 import os
@@ -24,7 +32,7 @@ import os
 import numpy as np
 
 from mdproptools_tpu.common.system import altered_atom_types
-from mdproptools_tpu.io.lammps_dump import read_trajectory
+from mdproptools_tpu.io.lammps_dump import iter_trajectory_blocks
 from mdproptools_tpu.structural.rdf_cn import _radii, _save_rdf
 
 
@@ -45,55 +53,60 @@ def calc_number_density(
     ``surface_atom`` slab along x/y/z. Assumes a one-atom-type surface,
     like the reference (number_density.py:43)."""
     working_dir = working_dir or os.getcwd()
-    traj = read_trajectory(os.path.join(working_dir, dump_pattern),
-                           columns=["id", "type", "x", "y", "z"])
     num_bins = int(abs(dist_from_interface) / bin_size)
     atom_types = list(atom_types)
     partial_relations = np.array(
         [np.full(len(atom_types), surface_atom, dtype=np.int64), atom_types]
     )
-    if num_mols and num_atoms_per_mol:
-        ids = traj.col("id")[0].astype(np.int64)
-        codes = altered_atom_types(ids, num_mols, num_atoms_per_mol)
-    else:
-        codes = traj.col("type")[0].astype(np.int64)
 
     axis_idx = {"x": 0, "y": 1, "z": 2}[axis_norm_interface]
     rho_part_sum = np.zeros((len(atom_types), num_bins))
-    T = traj.n_frames
-    coord_all = traj.col(axis_norm_interface)  # (T, N), one copy
-    for t in range(T):
-        coord = coord_all[t].copy()
-        surface = coord[codes == surface_atom]
-        if surface.size == 0:
-            raise ValueError(
-                f"no atoms of surface type {surface_atom} in frame {t}"
-            )
-        min_dist = surface.min()
-        max_dist = surface.max()
-        dist_range = max_dist - min_dist
-        coord -= min_dist
-        rho_part = np.zeros((len(atom_types), num_bins))
-        for i, j in enumerate(atom_types):
-            if dist_from_interface > 0:
-                b = coord[(codes == j) & (coord < dist_from_interface)]
-                b = b - dist_range
+    codes = None
+    T = 0
+    for blk in iter_trajectory_blocks(
+        os.path.join(working_dir, dump_pattern),
+        columns=["id", "type", "x", "y", "z"],
+    ):
+        if codes is None:  # frame-0 metadata
+            if num_mols and num_atoms_per_mol:
+                ids = blk.col("id")[0].astype(np.int64)
+                codes = altered_atom_types(ids, num_mols, num_atoms_per_mol)
             else:
-                b = coord[(codes == j) & (coord > dist_from_interface)]
-            bins = np.trunc(b / bin_size).astype(np.int64)
-            if bins.size and (bins.min() < -num_bins or
-                              bins.max() >= num_bins):
-                raise IndexError(
-                    f"bin index out of range for atom type {j} (the "
-                    "reference fails identically here); check "
-                    "dist_from_interface/bin_size"
+                codes = blk.col("type")[0].astype(np.int64)
+        coord_blk = blk.col(axis_norm_interface)  # (B, N)
+        for t in range(blk.n_frames):
+            coord = coord_blk[t].copy()
+            surface = coord[codes == surface_atom]
+            if surface.size == 0:
+                raise ValueError(
+                    f"no atoms of surface type {surface_atom} in frame {T}"
                 )
-            np.add.at(rho_part[i], bins % num_bins, 1)
-        box_lengths = traj.box_lengths[t]
-        cross_section = np.prod(
-            [box_lengths[a] for a in range(3) if a != axis_idx]
-        )
-        rho_part_sum += rho_part / (cross_section * bin_size)
+            min_dist = surface.min()
+            max_dist = surface.max()
+            dist_range = max_dist - min_dist
+            coord -= min_dist
+            rho_part = np.zeros((len(atom_types), num_bins))
+            for i, j in enumerate(atom_types):
+                if dist_from_interface > 0:
+                    b = coord[(codes == j) & (coord < dist_from_interface)]
+                    b = b - dist_range
+                else:
+                    b = coord[(codes == j) & (coord > dist_from_interface)]
+                bins = np.trunc(b / bin_size).astype(np.int64)
+                if bins.size and (bins.min() < -num_bins or
+                                  bins.max() >= num_bins):
+                    raise IndexError(
+                        f"bin index out of range for atom type {j} (the "
+                        "reference fails identically here); check "
+                        "dist_from_interface/bin_size"
+                    )
+                np.add.at(rho_part[i], bins % num_bins, 1)
+            box_lengths = blk.box_lengths[t]
+            cross_section = np.prod(
+                [box_lengths[a] for a in range(3) if a != axis_idx]
+            )
+            rho_part_sum += rho_part / (cross_section * bin_size)
+            T += 1
     rho_part_sum /= T
     return _save_rdf(
         _radii(bin_size, num_bins),

@@ -17,7 +17,9 @@ Dump schema seen in the bundled data (BASELINE.md):
 
 import glob as _glob
 import io as _io
+import os
 import re
+from itertools import islice as _islice
 from dataclasses import dataclass, field
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -222,18 +224,46 @@ def parse_frames_from_text(text: str, sort_by_id: bool = True) -> Iterator[Frame
 
 
 def parse_lammps_dumps(
-    pattern: str, sort_by_id: bool = True
+    pattern: str, sort_by_id: bool = True, workers: Optional[int] = None
 ) -> Iterator[Frame]:
     """Lazily yield frames from a dump file or a ``*`` glob pattern of
     dump files (sorted by the wildcard integer), matching the reference's
-    iteration order."""
+    iteration order.
+
+    Multi-file patterns parse files on a bounded thread pool (the C body
+    parser and pandas release the GIL), keeping at most ~2x ``workers``
+    files in flight so streaming memory stays bounded; yield order is
+    unchanged. ``workers=1`` forces sequential parsing."""
     files = _sort_files_by_wildcard(pattern, _glob.glob(pattern))
     if not files:
         raise FileNotFoundError(f"no dump files match {pattern!r}")
-    for f in files:
+
+    def load(f):
         with open(f, "r") as fh:
             text = fh.read()
-        yield from parse_frames_from_text(text, sort_by_id=sort_by_id)
+        return list(parse_frames_from_text(text, sort_by_id=sort_by_id))
+
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
+    if len(files) <= 1 or workers <= 1:
+        for f in files:
+            yield from load(f)
+        return
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        pending: deque = deque()
+        it = iter(files)
+        for f in _islice(it, 2 * workers):
+            pending.append(ex.submit(load, f))
+        while pending:
+            fut = pending.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(ex.submit(load, nxt))
+            yield from fut.result()
 
 
 @dataclass

@@ -263,6 +263,8 @@ def pair_hist_rows(
     method: str = "auto",
     idx_c=None,
     triangle: bool = False,
+    row_tiles=None,
+    interpret: bool = False,
 ):
     """Row-chunk-level ordered-pair histogram. ``pair_hist`` wraps this
     with the full row set; the sharded path (``mdproptools_tpu.parallel``)
@@ -288,7 +290,7 @@ def pair_hist_rows(
         return pair_hist_rows_pallas(
             pos_r, idx_r, chunk_codes, pos_c, layout_c, n_codes_r,
             lengths, bin_size, n_bins, r_cut, exclude_self, idx_c=idx_c,
-            triangle=triangle,
+            triangle=triangle, row_tiles=row_tiles, interpret=interpret,
         )
     if triangle:
         raise ValueError(f"triangle mode requires the pallas path, "

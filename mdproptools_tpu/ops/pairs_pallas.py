@@ -88,8 +88,28 @@ def _tile_geometry(p, idx, lengths):
     return c, jnp.sqrt(rad2)
 
 
+def _triangle_keep(row_tiles, n_tiles):
+    """Cyclic-half assignment of unordered tile pairs: row tile i
+    processes column tile j iff d = (j - i) mod n_tiles is in
+    (0, ceil(n/2)] (ties at d == n/2 for even n broken by i < j), plus
+    its own diagonal tile (d == 0, restricted in-kernel to the strictly-
+    upper slot half). Every unordered pair is processed exactly once AND
+    every row tile gets (nearly) the same tile count — so triangle mode
+    stays load-balanced under any row sharding (unlike j >= i, where row
+    0 does all the work and the last row none)."""
+    j = jnp.arange(n_tiles)[None, :]
+    i = row_tiles[:, None]
+    d = jnp.mod(j - i, n_tiles)
+    half = n_tiles // 2
+    if n_tiles % 2 == 0:
+        keep = (d > 0) & ((d < half) | ((d == half) & (i < j)))
+    else:
+        keep = (d > 0) & (d <= half)
+    return keep | (d == 0)
+
+
 def _cull_mask_words(pos_r, idx_r, pos_c3, idx_c3, lengths, r_cut, triangle,
-                     kc=None):
+                     kc=None, row_tiles=None):
     """Bit-packed conservative keep mask: word [i, g] bit k covers
     (row chunk i, column tile g * KC + k) — one word per grid program,
     so an all-culled program skips with a single scalar load + branch
@@ -108,8 +128,9 @@ def _cull_mask_words(pos_r, idx_r, pos_c3, idx_c3, lengths, r_cut, triangle,
     keep &= (idx_c3 >= 0).any(axis=1)[None, :]
     n_chunks, n_tiles = keep.shape
     if triangle:
-        keep &= (jnp.arange(n_tiles)[None, :]
-                 >= jnp.arange(n_chunks)[:, None])
+        if row_tiles is None:
+            row_tiles = jnp.arange(n_chunks)
+        keep &= _triangle_keep(jnp.asarray(row_tiles), n_tiles)
     kc = KC if kc is None else kc
     bits = keep.reshape(n_chunks, n_tiles // kc, kc).astype(jnp.int32)
     weights = jnp.int32(1) << jnp.arange(kc, dtype=jnp.int32)
@@ -121,6 +142,9 @@ def _kernel(
     chunk_codes_ref,  # (n_chunks,) i32 row-chunk type codes
     tile_codes_ref,  # (n_tiles,) i32 column-tile type codes
     mask_ref,  # (n_chunks, n_words) i32 bit-packed keep mask
+    row_tiles_ref,  # (n_chunks,) i32 GLOBAL tile index per row chunk
+    #                 (== arange unsharded; a shard's gathered positions
+    #                 under row sharding)
     # inputs
     rows_ref,  # (1, 3, LANE) f32: row chunk x/y/z
     idxr_ref,  # (1, 1, LANE) i32
@@ -198,9 +222,10 @@ def _kernel(
                 valid = (rsq < rc2) & (b < n_bins)
                 valid &= (idxr >= 0) & (idxc[None, :] >= 0)
                 if triangle:
-                    # diagonal tile: count each unordered slot pair once
+                    # diagonal tile (jj == this chunk's GLOBAL tile):
+                    # count each unordered slot pair once
                     valid &= (iota_lo > jax.lax.broadcasted_iota(
-                        jnp.int32, (LANE, F), 0)) | (jj > i)
+                        jnp.int32, (LANE, F), 0)) | (jj != row_tiles_ref[i])
                 if exclude_self:
                     valid &= idxr != idxc[None, :]
                 # radix split batched over the whole tile ((LANE, 1)-shaped
@@ -274,6 +299,7 @@ def pair_hist_rows_pallas(
     interpret: bool = False,
     idx_c=None,
     triangle: bool = False,
+    row_tiles=None,
 ):
     """Pallas implementation of ``pairs.pair_hist_rows`` (f32).
 
@@ -289,26 +315,57 @@ def pair_hist_rows_pallas(
     is symmetric), halving the pair work. With ``exclude_self=False``
     the r = 0 self pairs are re-added analytically (count_b at bin 0 of
     each [tb, tb]).
+
+    ``row_tiles``: (n_chunks,) GLOBAL column-tile index of each row
+    chunk. Defaults to arange (the unsharded self case). Under row
+    sharding, pass each shard's positions in the all-gathered column
+    order; the cyclic-half triangle rule then still counts every
+    unordered tile pair exactly once across shards, with near-equal
+    work per shard (sum the per-shard results / psum over the mesh).
+    The r = 0 self-pair re-add must happen once globally, so sharded
+    triangle requires exclude_self=True.
     """
     n_chunks = pos_r.shape[0]
     n_codes_c = layout_c.n_codes
-    n_tiles = layout_c.n_padded // F
+    # column tiling follows the ACTUAL array (a mesh caller may have
+    # padded beyond the layout with inert rows); layout-derived metadata
+    # is extended with inert entries below
+    n_tiles = pos_c.shape[0] // F
+    n_extra = n_tiles - layout_c.n_padded // F
     if n_bins > H_SUB * F:
         raise ValueError(f"n_bins {n_bins} > {H_SUB * F} unsupported")
+    sharded_rows = row_tiles is not None
     if triangle:
-        if n_chunks * LANE != layout_c.n_padded or n_codes_r != n_codes_c:
+        if n_codes_r != n_codes_c:
+            raise ValueError("triangle mode requires matching type spaces")
+        if not sharded_rows and n_chunks != n_tiles:
             raise ValueError(
-                "triangle mode requires rows == columns (full self case)"
+                "triangle mode requires rows == columns (full self case) "
+                "or explicit row_tiles for a row shard"
             )
+        if sharded_rows and not exclude_self:
+            raise ValueError(
+                "sharded triangle requires exclude_self=True (the r=0 "
+                "self-pair re-add must happen exactly once globally)"
+            )
+    if row_tiles is None:
+        row_tiles = jnp.arange(n_chunks, dtype=jnp.int32)
+    row_tiles = jnp.asarray(row_tiles, jnp.int32)
 
     pos_r = pos_r.astype(jnp.float32)
     pos_c3 = pos_c.astype(jnp.float32).reshape(n_tiles, F, 3)
     idx_r = idx_r.astype(jnp.int32)
     if idx_c is None:
         idx_c = jnp.asarray(layout_c.perm, jnp.int32)
+        if n_extra:
+            idx_c = jnp.concatenate(
+                [idx_c, jnp.full(n_extra * F, -1, jnp.int32)])
     idx_c3 = idx_c.astype(jnp.int32).reshape(n_tiles, F)
     lengths = jnp.asarray(lengths, jnp.float32)
     tile_codes_np = np.asarray(layout_c.chunk_codes, np.int32)
+    if n_extra:
+        tile_codes_np = np.concatenate(
+            [tile_codes_np, np.zeros(n_extra, np.int32)])
 
     # pad the column tiles to a KC multiple with inert tiles (idx -1,
     # keep bit 0 via the all-pad guard in _cull_mask_words)
@@ -323,7 +380,8 @@ def pair_hist_rows_pallas(
     n_tiles_p = n_tiles + pad_tiles
 
     mask_words = _cull_mask_words(
-        pos_r, idx_r, pos_c3, idx_c3, lengths, float(r_cut), triangle)
+        pos_r, idx_r, pos_c3, idx_c3, lengths, float(r_cut), triangle,
+        row_tiles=row_tiles)
 
     rows = jnp.transpose(pos_r, (0, 2, 1))  # (n_chunks, 3, LANE)
     idxr = idx_r[:, None, :]  # (n_chunks, 1, LANE)
@@ -345,7 +403,7 @@ def pair_hist_rows_pallas(
         triangle=bool(triangle),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_chunks, n_groups),
         in_specs=[
             pl.BlockSpec((1, 3, LANE), lambda i, j, *s: (i, 0, 0),
@@ -370,7 +428,7 @@ def pair_hist_rows_pallas(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(chunk_codes.astype(jnp.int32), tile_codes, mask_words,
+    )(chunk_codes.astype(jnp.int32), tile_codes, mask_words, row_tiles,
       rows, idxr, colpack, lengths.reshape(1, 3))
     # (ncr*ncc*H_SUB, F) -> (ncr, ncc, H_SUB*F): sublane-major unflatten
     out = out.reshape(n_codes_r, n_codes_c, H_SUB * F)[:, :, :n_bins]
@@ -479,8 +537,9 @@ def _rel_kernel(
                 valid = (rsq < rc2) & (b < n_bins)
                 valid &= (idxr >= 0) & (idxc[None, :] >= 0)
                 if triangle:
+                    # cyclic-half rule: d == 0 (jj == i) is the diagonal
                     valid &= (iota_lo > jax.lax.broadcasted_iota(
-                        jnp.int32, (LANE, F), 0)) | (jj > i)
+                        jnp.int32, (LANE, F), 0)) | (jj != i)
                 if exclude_self:
                     valid &= idxr != idxc[None, :]
 

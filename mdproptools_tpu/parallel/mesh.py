@@ -29,10 +29,24 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from mdproptools_tpu.ops import pairs as pair_ops
 
+import inspect
+
 try:  # jax >= 0.4.35
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax import shard_map as _shard_map
+
+# replication-check kwarg renamed check_rep -> check_vma across JAX
+# versions; a pallas_call inside shard_map cannot declare its varying
+# mesh axes, so sharded kernels need the check off
+_CHECK_KW = ("check_vma" if "check_vma"
+             in inspect.signature(_shard_map).parameters else "check_rep")
+
+
+def shard_map(*args, **kwargs):
+    if "check_vma" in kwargs:
+        kwargs[_CHECK_KW] = kwargs.pop("check_vma")
+    return _shard_map(*args, **kwargs)
 
 
 def make_mesh(n_frames_axis: Optional[int] = None,
@@ -59,6 +73,9 @@ def sharded_rdf_hist(
     mesh: Mesh,
     exclude_self: bool = True,
     dtype=jnp.float32,
+    triangle: bool = False,
+    method: str = "auto",
+    interpret: bool = False,
 ):
     """Frame- and row-sharded ordered-pair histogram sum over all frames:
     returns the fully-reduced (n_codes, n_codes, n_bins) histogram
@@ -68,7 +85,17 @@ def sharded_rdf_hist(
     over ``frames``, n_chunks over ``atoms``. Each device all-gathers the
     frame's columns along ``atoms`` and computes its row-chunk partial
     histogram; psum over both axes reduces.
+
+    ``triangle=True`` (TPU Pallas path, exclude_self only) halves the
+    pair work via the cyclic-half tile rule: each shard passes its
+    GLOBAL positions in the gathered column order as ``row_tiles``, so
+    every unordered tile pair is counted exactly once across shards with
+    near-equal per-shard work, and each shard's result is already
+    mirrored (hist + hist^T is linear, so the psum of mirrored partials
+    is the mirrored total).
     """
+    if triangle and not exclude_self:
+        raise ValueError("sharded triangle requires exclude_self=True")
     T, n_padded, _ = pos.shape
     n_chunks = n_padded // pair_ops.LANE
     pos4 = pos.astype(dtype).reshape(T, n_chunks, pair_ops.LANE, 3)
@@ -102,12 +129,20 @@ def sharded_rdf_hist(
     )
     out_spec = P()  # fully reduced / replicated
 
-    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_spec)
+    # check_vma=False: a pallas_call inside shard_map cannot declare its
+    # varying-mesh-axes; replication of the result is established by the
+    # explicit psum over both axes below
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+             check_vma=False)
     def run(pos_local, len_local, idx_local, codes_local):
         # columns: full frame = all row shards gathered along 'atoms'
         cols = jax.lax.all_gather(pos_local, "atoms", axis=1, tiled=True)
         # cols: (T_loc, n_chunks, LANE, 3) -> (T_loc, n_padded, 3)
         cols = cols.reshape(pos_local.shape[0], -1, 3)
+        n_loc = pos_local.shape[1]
+        # this shard's GLOBAL tile positions in the gathered column order
+        row_tiles = (jax.lax.axis_index("atoms") * n_loc
+                     + jnp.arange(n_loc, dtype=jnp.int32))
 
         def frame_step(acc, xs):
             p_loc, p_cols, L = xs
@@ -115,7 +150,9 @@ def sharded_rdf_hist(
                 p_loc, idx_local, codes_local, p_cols, layout,
                 n_codes_r=layout.n_codes, lengths=L, bin_size=bin_size,
                 n_bins=n_bins, r_cut=r_cut, exclude_self=exclude_self,
-                dtype=dtype,
+                dtype=dtype, triangle=triangle,
+                row_tiles=row_tiles if triangle else None,
+                method=method, interpret=interpret,
             )
             return acc + h, None
 

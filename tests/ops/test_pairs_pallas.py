@@ -198,3 +198,34 @@ def test_relation_kernel_cross_layout():
         pr, pm, ty, pc, pmc, tyc, relations - 1, L, 0.1, 128, 6.0,
         False, False, triangle=False, interpret=True)
     np.testing.assert_array_equal(np.asarray(grels), np.asarray(wrels))
+
+
+def test_sharded_triangle_two_shards_sum_to_dense():
+    """Row-sharded triangle (cyclic-half rule with explicit global
+    row_tiles): per-shard results summed must equal the dense scatter
+    histogram exactly, for odd and even tile counts."""
+    rng = np.random.default_rng(23)
+    for n, box in ((700, 14.0), (520, 13.0)):  # 6 and 5 padded tiles
+        pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+        codes = rng.integers(1, 4, n)
+        lay = pair_ops.build_type_layout(codes, 3)
+        pp = pair_ops.gather_padded(jnp.asarray(pos), lay)
+        L = jnp.asarray([box] * 3, jnp.float32)
+        nc = lay.n_padded // pair_ops.LANE
+        pr = pp.reshape(nc, pair_ops.LANE, 3)
+        idx = jnp.asarray(lay.perm).reshape(nc, pair_ops.LANE)
+        ccodes = jnp.asarray(lay.chunk_codes, jnp.int32)
+        k = nc // 2
+        total = 0
+        for sl in (slice(0, k), slice(k, nc)):
+            rt = jnp.arange(nc, dtype=jnp.int32)[sl]
+            total = total + np.asarray(pair_hist_rows_pallas(
+                pr[sl], idx[sl].astype(jnp.int32), ccodes[sl],
+                pp, lay, 3, L, 0.1, 128, 6.0, True, interpret=True,
+                triangle=True, row_tiles=rt,
+            ))
+        want = np.asarray(pair_ops.pair_hist(
+            pp, pp, lay, lay, L, 0.1, 128, 6.0, True,
+            dtype=jnp.float32, method="scatter",
+        ))
+        np.testing.assert_array_equal(total, want)

@@ -96,3 +96,33 @@ def test_sharded_charge_flux_matches_single(synthetic):
             want[t, k] = (vcom[type_index == k]
                           * qmol[type_index == k, None]).sum(axis=0)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_triangle_matches_single():
+    """Row-sharded TRIANGLE histogram (cyclic-half rule + per-shard
+    mirroring, Pallas interpret mode) on the virtual mesh must equal the
+    single-device scatter result exactly."""
+    import numpy as np
+
+    from mdproptools_tpu.ops import pairs as pair_ops
+    from mdproptools_tpu.parallel import make_mesh, sharded_rdf_hist
+
+    rng = np.random.default_rng(31)
+    T, n, box = 4, 700, 14.0
+    pos = rng.uniform(0, box, (T, n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    pp = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    lengths = np.full((T, 3), box, np.float32)
+    mesh = make_mesh(n_frames_axis=4, n_atoms_axis=2)
+    got = np.asarray(sharded_rdf_hist(
+        pp, lengths, lay, bin_size=0.1, n_bins=128, r_cut=6.0,
+        mesh=mesh, dtype=jnp.float32, triangle=True, method="pallas",
+        interpret=True,
+    ))
+    want = 0
+    for t in range(T):
+        want = want + np.asarray(pair_ops.pair_hist(
+            pp[t], pp[t], lay, lay, jnp.asarray(lengths[t]), 0.1, 128,
+            6.0, True, dtype=jnp.float32, method="scatter"))
+    np.testing.assert_array_equal(got, want)

@@ -142,6 +142,22 @@ def build_parser():
     p.add_argument("--water-type", type=int, required=True)
     p.add_argument("--r-cut", type=float, required=True)
     p.add_argument("--working-dir", default=".")
+
+    p = sub.add_parser(
+        "sweep",
+        help="batched RDF over many same-system trajectories (one "
+             "compiled program, parse/compute overlap)")
+    p.add_argument("--dumps", required=True, nargs="+",
+                   help="one glob pattern per trajectory")
+    p.add_argument("--precision", default="fast",
+                   choices=["fast", "strict"])
+    p.add_argument("--r-cut", type=float, required=True)
+    p.add_argument("--bin-size", type=float, required=True)
+    p.add_argument("--num-types", type=int, required=True)
+    p.add_argument("--mass", type=_floats, required=True)
+    p.add_argument("--relations", type=_relations, required=True)
+    p.add_argument("--labels", type=lambda s: s.split(","), default=None)
+    p.add_argument("--out", default="rdf_sweep.csv")
     return ap
 
 
@@ -246,6 +262,17 @@ def main(argv=None):
         )
         print(f"hydration factor: {df['hydration_factor'].iloc[0]:.4f} "
               f"({len(df)} angles)")
+    elif cmd == "sweep":
+        from mdproptools_tpu.parallel.sweep import sweep_rdf
+
+        df = sweep_rdf(
+            args.dumps, args.r_cut, args.bin_size, args.num_types,
+            args.mass, args.relations, precision=args.precision,
+            labels=args.labels,
+        )
+        df.to_csv(args.out, index=False)
+        print(f"wrote {args.out} ({df['trajectory'].nunique()} "
+              f"trajectories x {len(df) // df['trajectory'].nunique()} bins)")
     return 0
 
 

@@ -62,8 +62,13 @@ def _open_stream(filename, columns=("id", "type", "x", "y", "z")):
     (first_block, blocks_fn) where blocks_fn() iterates ALL blocks
     including the first — the first block supplies frame-0 metadata
     (codes, counts, consistency checks, kernel-policy shapes)."""
-    it = iter_trajectory_blocks(filename, columns=list(columns),
-                                block_frames=FRAME_BLOCK)
+    from mdproptools_tpu.io.lammps_dump import prefetch_iter
+
+    it = prefetch_iter(
+        iter_trajectory_blocks(filename, columns=list(columns),
+                               block_frames=FRAME_BLOCK),
+        depth=2,  # next block parses while the device runs this one
+    )
     try:
         first = next(it)
     except StopIteration:

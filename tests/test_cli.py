@@ -40,3 +40,41 @@ def test_cli_relations_parsing():
 
     assert _relations("8-1,8-4") == [[8, 8], [1, 4]]
     assert _shells("0:2.6,1:3.2") == [(0.0, 2.6), (1.0, 3.2)]
+
+
+def test_cli_sweep(tmp_path):
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from helpers import write_traj
+
+    from mdproptools_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    box, n = 12.0, 64
+    cols = ["id", "type", "x", "y", "z"]
+    patterns = []
+    for rep in range(2):
+        d = tmp_path / f"rep{rep}"
+        d.mkdir()
+        frames, ts = [], list(range(0, 3000, 1000))
+        for _ in ts:
+            data = np.zeros((n, len(cols)))
+            data[:, 0] = np.arange(1, n + 1)
+            data[:, 1] = [1] * 32 + [2] * 32
+            data[:, 2:5] = rng.uniform(0, box, (n, 3))
+            frames.append(data)
+        patterns.append(write_traj(str(d), ts, 0.0, box, cols, frames))
+    out = tmp_path / "sweep.csv"
+    rc = main(["sweep", "--dumps", *patterns, "--r-cut", "5", "--bin-size",
+               "0.5", "--num-types", "2", "--mass", "1.0,2.0",
+               "--relations", "1-2", "--precision", "strict",
+               "--labels", "a,b", "--out", str(out)])
+    assert rc == 0
+    df = pd.read_csv(out)
+    assert set(df["trajectory"]) == {"a", "b"}
+    assert "g_1-2" in df.columns

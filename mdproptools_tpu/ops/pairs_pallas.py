@@ -753,3 +753,216 @@ def pair_hist_relations_pallas(
                     adds[r] = counts_r[a_r]
             rels = rels.at[:, 0].add(jnp.asarray(adds))
     return full, rels
+
+
+# ---------------------------------------------------------------------------
+# Relation-count kernel (coordination numbers): exact per-relation cutoffs
+# ---------------------------------------------------------------------------
+# CN needs only #{ordered pairs: type_p = a_r, type_q = b_r,
+# rsq < r_cut_r^2} per relation — no histogram, so no per-column one-hot
+# walk at all: each 128x128 tile is a handful of masked reductions on
+# the VPU (~100x cheaper per tile than the histogram kernel, which the
+# XLA pair_count_within path effectively paid anyway). Reference
+# semantics: exact rsq < r_cut^2 cutoff (rdf_cn.py:100-119), NOT binned.
+
+def _cn_kernel(
+    mask_ref,  # (n_chunks, n_groups) i32 keep bits (scalar prefetch)
+    rows_ref,  # (1, 5, LANE) f32: x/y/z/idxf/typef
+    colpack_ref,  # (n_groups, 5, KC_REL * F) f32, VMEM-resident
+    len_ref,  # (1, 3) f32 (SMEM)
+    out_ref,  # (r_pad, F) f32 persistent: per-relation per-lane partials
+    *,
+    relations,  # static tuple of 0-based (a, b)
+    r_cuts_sq,  # static tuple of per-relation squared cutoffs
+    exclude_self,
+    triangle,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    word = mask_ref[i, j]
+
+    def _group(_g, carry_g):
+        lx = len_ref[0, 0]
+        ly = len_ref[0, 1]
+        lz = len_ref[0, 2]
+        xr = rows_ref[0, 0, :].reshape(1, LANE).T  # (LANE, 1)
+        yr = rows_ref[0, 1, :].reshape(1, LANE).T
+        zr = rows_ref[0, 2, :].reshape(1, LANE).T
+        idxr = rows_ref[0, 3, :].reshape(1, LANE).T
+        tyr = rows_ref[0, 4, :].reshape(1, LANE).T
+
+        def wrap(d, L):
+            half = L * jnp.float32(0.5)
+            return jnp.where(d > half, d - L,
+                             jnp.where(d < -half, d + L, d))
+
+        iota_lane = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 1)
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 0)
+
+        def subtile(k, carry):
+            jj = j * KC_REL + k
+            bit = jax.lax.shift_right_logical(
+                word, k.astype(jnp.int32)) & jnp.int32(1)
+
+            def _heavy(_h, carry_h):
+                off = pl.multiple_of(k * F, F)
+                xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
+                yc = colpack_ref[j, 1, pl.ds(off, F)]
+                zc = colpack_ref[j, 2, pl.ds(off, F)]
+                idxc = colpack_ref[j, 3, pl.ds(off, F)]
+                tyc = colpack_ref[j, 4, pl.ds(off, F)]
+
+                dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
+                dy = wrap(yr - yc[None, :], ly)
+                dz = wrap(zr - zc[None, :], lz)
+                rsq = dx * dx + dy * dy + dz * dz
+                valid = (idxr >= 0) & (idxc[None, :] >= 0)
+                if triangle:
+                    # cyclic-half rule: jj == i is the diagonal tile
+                    valid &= (iota_lane > iota_sub) | (jj != i)
+                if exclude_self:
+                    valid &= idxr != idxc[None, :]
+                for r, (a_r, b_r) in enumerate(relations):
+                    m = ((tyr == jnp.float32(a_r))
+                         & (tyc[None, :] == jnp.float32(b_r)))
+                    if triangle:
+                        # both orientations of each unordered pair
+                        mm = ((tyr == jnp.float32(b_r))
+                              & (tyc[None, :] == jnp.float32(a_r)))
+                        cnt = (m.astype(jnp.float32)
+                               + mm.astype(jnp.float32))
+                    else:
+                        cnt = m.astype(jnp.float32)
+                    w = jnp.where(
+                        valid & (rsq < jnp.float32(r_cuts_sq[r])),
+                        cnt, 0.0)
+                    s = jnp.sum(w, axis=0, keepdims=True)  # (1, F)
+                    cur = out_ref[pl.ds(r, 1), :]
+                    out_ref[pl.ds(r, 1), :] = cur + s
+                return carry_h
+
+            jax.lax.fori_loop(0, bit, _heavy, 0)
+            return carry
+
+        jax.lax.fori_loop(0, KC_REL, subtile, 0)
+        return carry_g
+
+    jax.lax.fori_loop(0, (word != 0).astype(jnp.int32), _group, 0)
+
+
+def pair_count_relations_pallas(
+    pos_r,  # (n_pad_r, 3) row positions, any (e.g. Hilbert) padded order
+    idx_r,  # (n_pad_r,) original indices, -1 = pad
+    types_r,  # (n_pad_r,) 0-based type codes
+    pos_c,
+    idx_c,
+    types_c,
+    relations,  # (R, 2) 0-based host ints
+    r_cuts,  # (R,) per-relation cutoffs
+    lengths,
+    exclude_self: bool,
+    triangle: bool = False,
+    interpret: bool = False,
+    counts_r=None,  # (n_types_r,) true counts (self-pair re-add)
+):
+    """Exact per-relation cutoff pair counts on mixed-type tiles
+    (the coordination-number kernel): returns (R,) float32 ordered-pair
+    counts, equal to ``pairs.pair_count_within``. ``triangle`` requires
+    rows == columns and inserts both orientations per unordered pair
+    in-kernel (no mirroring step); with exclude_self=False the r = 0
+    self pairs are re-added analytically from ``counts_r``."""
+    relations = [(int(a), int(b)) for a, b in np.asarray(relations)]
+    r_cuts = [float(v) for v in np.asarray(r_cuts).reshape(-1)]
+    n_pad_r, n_pad_c = pos_r.shape[0], pos_c.shape[0]
+    if n_pad_r % LANE or n_pad_c % F:
+        raise ValueError("padded sizes must be LANE multiples")
+    n_chunks = n_pad_r // LANE
+    n_tiles = n_pad_c // F
+    n_rel = len(relations)
+    r_pad = max(8, -(-n_rel // 8) * 8)
+    if triangle and n_pad_r != n_pad_c:
+        raise ValueError("triangle mode requires rows == columns")
+
+    f32 = jnp.float32
+    pos_r = pos_r.astype(f32)
+    pos_c = pos_c.astype(f32)
+    idx_r = jnp.asarray(idx_r, jnp.int32)
+    idx_c = jnp.asarray(idx_c, jnp.int32)
+    lengths = jnp.asarray(lengths, f32)
+
+    pad_tiles = (-n_tiles) % KC_REL
+    pos_c3 = pos_c.reshape(n_tiles, F, 3)
+    idx_c3 = idx_c.reshape(n_tiles, F)
+    tyc = jnp.asarray(types_c, f32).reshape(n_tiles, F)
+    if pad_tiles:
+        pos_c3 = jnp.concatenate(
+            [pos_c3, jnp.zeros((pad_tiles, F, 3), f32)])
+        idx_c3 = jnp.concatenate(
+            [idx_c3, jnp.full((pad_tiles, F), -1, jnp.int32)])
+        tyc = jnp.concatenate([tyc, jnp.full((pad_tiles, F), -1.0, f32)])
+    n_tiles_p = n_tiles + pad_tiles
+    n_groups = n_tiles_p // KC_REL
+
+    mask_words = _cull_mask_words(
+        pos_r.reshape(n_chunks, LANE, 3), idx_r.reshape(n_chunks, LANE),
+        pos_c3, idx_c3, lengths, max(r_cuts), triangle, kc=KC_REL)
+
+    rowpack = jnp.stack([
+        pos_r[:, 0].reshape(n_chunks, LANE),
+        pos_r[:, 1].reshape(n_chunks, LANE),
+        pos_r[:, 2].reshape(n_chunks, LANE),
+        idx_r.astype(f32).reshape(n_chunks, LANE),
+        jnp.asarray(types_r, f32).reshape(n_chunks, LANE),
+    ], axis=1)
+    colpack = jnp.stack([
+        pos_c3[:, :, 0].reshape(n_groups, KC_REL * F),
+        pos_c3[:, :, 1].reshape(n_groups, KC_REL * F),
+        pos_c3[:, :, 2].reshape(n_groups, KC_REL * F),
+        idx_c3.astype(f32).reshape(n_groups, KC_REL * F),
+        tyc.reshape(n_groups, KC_REL * F),
+    ], axis=1)
+
+    kernel = functools.partial(
+        _cn_kernel,
+        relations=tuple(relations),
+        r_cuts_sq=tuple(v * v for v in r_cuts),
+        exclude_self=bool(exclude_self),
+        triangle=bool(triangle),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, 5, LANE), lambda i, j, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, 5, KC_REL * F),
+                         lambda i, j, *s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((r_pad, F), lambda i, j, *s: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((r_pad, F), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(mask_words, rowpack, colpack, lengths.reshape(1, 3))
+    counts = out[:n_rel].sum(axis=1)
+    if triangle and not exclude_self:
+        if counts_r is None:
+            raise ValueError(
+                "counts_r required for triangle + exclude_self=False")
+        counts_r = np.asarray(counts_r, np.float64)
+        adds = np.zeros(n_rel, np.float32)
+        for r, (a_r, b_r) in enumerate(relations):
+            if a_r == b_r and r_cuts[r] > 0:
+                adds[r] = counts_r[a_r]
+        counts = counts + jnp.asarray(adds)
+    return counts

@@ -413,15 +413,54 @@ def _cn_mean(
         [code_counts_rows[int(a) - 1] for a in relation_matrix[:, 0]],
         np.float64,
     )
+    self_case = pos_cols is None
+    # TPU fast path: Hilbert-sorted mixed tiles + the relation-count
+    # Pallas kernel (exact per-relation cutoffs, triangle for the self
+    # case, tile cull) — ~100x the dense XLA compare-sum; strict/CPU
+    # keeps the float64 pair_count_within path for oracle parity.
+    use_cn_kernel = (jax.default_backend() not in ("cpu",)
+                     and dtype == jnp.float32)
+    ncell = pair_ops.pick_ncell(int(code_counts_rows.sum()))
+    n_pad_r = -(-pos.shape[1] // pair_ops.LANE) * pair_ops.LANE
+    codes0_r = jnp.asarray(np.asarray(codes) - 1, jnp.float32)
+    if not self_case:
+        n_pad_c = -(-pos_cols.shape[1] // pair_ops.LANE) * pair_ops.LANE
+        codes0_c = jnp.asarray(np.asarray(codes_cols) - 1, jnp.float32)
+    relations0 = np.asarray(relation_matrix, np.int64) - 1
+
+    def _sorted_side(p, L, n_atoms_side, n_pad, codes0):
+        pm = pair_ops.device_sort_global(p, n_atoms_side, n_pad, L, ncell)
+        pr = pair_ops.gather_padded_perm(p, pm)
+        ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
+        return pr, pm, ty
 
     def step(p, pc, L):
         sdtype = p.dtype
-        pr = pair_ops.gather_padded(p, layout_r)
-        pcc = pr if pos_cols is None else pair_ops.gather_padded(pc, layout_c)
-        counts = pair_ops.pair_count_within(
-            pr, pcc, layout_r, layout_c, L, relation_matrix, r_cuts,
-            exclude_self, dtype=sdtype,
-        )
+        if use_cn_kernel:
+            from mdproptools_tpu.ops.pairs_pallas import (
+                pair_count_relations_pallas,
+            )
+            pr, pm, ty = _sorted_side(p.astype(jnp.float32), L,
+                                      p.shape[0], n_pad_r, codes0_r)
+            if self_case:
+                pc3, pmc, tyc = pr, pm, ty
+            else:
+                pc3, pmc, tyc = _sorted_side(pc.astype(jnp.float32), L,
+                                             pc.shape[0], n_pad_c,
+                                             codes0_c)
+            counts = pair_count_relations_pallas(
+                pr, pm, ty, pc3, pmc, tyc, relations0, r_cuts, L,
+                exclude_self, triangle=self_case,
+                counts_r=code_counts_rows,
+            )
+        else:
+            pr = pair_ops.gather_padded(p, layout_r)
+            pcc = (pr if pos_cols is None
+                   else pair_ops.gather_padded(pc, layout_c))
+            counts = pair_ops.pair_count_within(
+                pr, pcc, layout_r, layout_c, L, relation_matrix, r_cuts,
+                exclude_self, dtype=sdtype,
+            )
         return counts.astype(sdtype) / jnp.asarray(n_ref, sdtype)
 
     if blocks is None:

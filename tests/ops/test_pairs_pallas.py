@@ -229,3 +229,39 @@ def test_sharded_triangle_two_shards_sum_to_dense():
             dtype=jnp.float32, method="scatter",
         ))
         np.testing.assert_array_equal(total, want)
+
+
+@pytest.mark.parametrize("exclude_self,triangle", [
+    (True, False), (True, True), (False, False), (False, True),
+])
+def test_cn_kernel_matches_pair_count_within(exclude_self, triangle):
+    """Relation-count (CN) kernel: exact per-relation cutoffs on mixed
+    Hilbert tiles must equal pair_count_within in every mode."""
+    from mdproptools_tpu.ops.pairs_pallas import pair_count_relations_pallas
+
+    rng = np.random.default_rng(29)
+    n, box = 700, 14.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    pp = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    L = jnp.full(3, box, jnp.float32)
+    relations = np.array([[1, 2], [3, 3], [2, 1], [1, 1]])
+    r_cuts = np.array([3.0, 4.5, 2.0, 3.5])
+    counts = np.bincount(codes - 1, minlength=3)
+
+    n_pad = -(-n // 128) * 128
+    pm = pair_ops.device_sort_global(
+        jnp.asarray(pos), n, n_pad, L, pair_ops.pick_ncell(n))
+    pr = pair_ops.gather_padded_perm(jnp.asarray(pos), pm)
+    codes0 = jnp.asarray(codes - 1, jnp.float32)
+    ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
+
+    want = np.asarray(pair_ops.pair_count_within(
+        pp, pp, lay, lay, L, relations, r_cuts, exclude_self,
+        dtype=jnp.float32))
+    got = np.asarray(pair_count_relations_pallas(
+        pr, pm, ty, pr, pm, ty, relations - 1, r_cuts, L,
+        exclude_self, triangle=triangle, interpret=True,
+        counts_r=counts))
+    np.testing.assert_array_equal(got, want)

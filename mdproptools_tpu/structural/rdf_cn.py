@@ -199,16 +199,25 @@ def _run_stream(run_block, out_shape, blocks, dtype):
     """Stream (pos_b, pos_cols_b|None, lengths_b) host blocks through a
     block runner; returns the frame mean (running sum fetched once per
     block, divided by the streamed frame count on host — the reference's
-    accumulate-then-divide order, ``rdf_cn.py:514-521``)."""
+    accumulate-then-divide order, ``rdf_cn.py:514-521``).
+
+    Double-buffered: jax dispatch is asynchronous, so block k+1 is
+    parsed, transferred and dispatched while the device still runs
+    block k; the (synchronizing) host fetch of block k happens last."""
     total = np.zeros(out_shape, np.float64)
     T = 0
+    pending = None  # device result of the previous block, not yet fetched
     for pos_b, pc_b, len_b in blocks:
         with stage("frame_block", start=T, frames=pos_b.shape[0]):
             pb = jnp.asarray(pos_b, dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
-            total += np.asarray(
-                run_block(pb, pcb, jnp.asarray(len_b, dtype)), np.float64)
+            cur = run_block(pb, pcb, jnp.asarray(len_b, dtype))
+            if pending is not None:
+                total += np.asarray(pending, np.float64)
+            pending = cur
             T += pos_b.shape[0]
+    if pending is not None:
+        total += np.asarray(pending, np.float64)
     if T == 0:
         raise ValueError("no frames to average")
     return total / T

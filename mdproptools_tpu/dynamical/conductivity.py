@@ -30,7 +30,6 @@ from mdproptools_tpu.common.system import System
 from mdproptools_tpu.io.lammps_dump import (
     iter_trajectory_blocks,
     peek_dump_columns,
-    read_trajectory,
 )
 from mdproptools_tpu.ops import acf as acf_ops
 from mdproptools_tpu.ops import com as com_ops
@@ -327,27 +326,34 @@ class Conductivity:
         available = peek_dump_columns(pattern)
         wanted = ["id", "type", "q", "x", "y", "z", "xu", "yu", "zu",
                   "ix", "iy", "iz"]
-        traj = read_trajectory(
-            pattern, columns=[c for c in wanted if c in available]
-        )
         from mdproptools_tpu.dynamical.diffusion import Diffusion
 
-        xu = Diffusion._unwrapped_coords(traj)
-        if not traj.has("q"):
-            raise AssertionError("Missing atom charges in dump file.")
-        q = traj.col("q")[0]
         dconv = constants.DISTANCE_CONVERSION[self.units]
         qconv = constants.CHARGE_CONVERSION[self.units]
 
-        # The collective dipole P(t) = sum_i q_i r_i(t) is a heavily
-        # cancelling sum (neutral system): float32 loses it entirely, so
-        # this O(T*N) reduction always runs float64 on host regardless of
-        # the precision setting.
-        p = np.einsum("tnc,n->tc", np.asarray(xu, np.float64),
-                      np.asarray(q, np.float64)) * (dconv * qconv)
+        # Streamed: per block, reduce to the collective dipole
+        # P(t) = sum_i q_i r_i(t) — a heavily cancelling sum (neutral
+        # system): float32 loses it entirely, so this O(T*N) reduction
+        # always runs float64 on host regardless of the precision
+        # setting. Host memory stays O(block x N).
+        p_parts, ts_parts = [], []
+        q = None
+        for blk in iter_trajectory_blocks(
+            pattern, columns=[c for c in wanted if c in available]
+        ):
+            if q is None:
+                if not blk.has("q"):
+                    raise AssertionError("Missing atom charges in dump file.")
+                q = np.asarray(blk.col("q")[0], np.float64)
+            xu_b = Diffusion._unwrapped_coords(blk)
+            p_parts.append(np.einsum(
+                "tnc,n->tc", np.asarray(xu_b, np.float64), q))
+            ts_parts.append(blk.timesteps)
+        p = np.concatenate(p_parts) * (dconv * qconv)
         dp = p - p[0][None]
         msd = np.sum(dp * dp, axis=1)
-        time_s = (traj.timesteps.astype(np.float64) * self.timestep
+        time_s = (np.concatenate(ts_parts).astype(np.float64)
+                  * self.timestep
                   * constants.TIME_CONVERSION[self.units])
         lo = initial_time if initial_time is not None else time_s.min()
         hi = final_time if final_time is not None else time_s.max()

@@ -33,7 +33,6 @@ from scipy.special import gamma
 from mdproptools_tpu.common.system import altered_atom_types
 from mdproptools_tpu.io.lammps_dump import (
     iter_trajectory_blocks,
-    read_trajectory,
 )
 from mdproptools_tpu.ops import acf as acf_ops
 from mdproptools_tpu.ops import pairs as pair_ops
@@ -237,18 +236,30 @@ class Displacement:
         self.working_dir = working_dir or os.getcwd()
 
     def calc_dist(self):
-        traj = read_trajectory(self.filename,
-                               columns=["id", "type", "x", "y", "z"])
-        types = traj.col("type")[0].astype(np.int64)
-        times_ps = traj.timesteps.astype(np.float64) * self.dt
+        # streamed: only the selected types' positions are retained
+        # (host memory O(block x N) + O(T x n_selected))
+        pos_parts, len_parts, ts_parts = [], [], []
+        types = sel_union = None
+        for blk in iter_trajectory_blocks(
+            self.filename, columns=["id", "type", "x", "y", "z"]
+        ):
+            if types is None:
+                types = blk.col("type")[0].astype(np.int64)
+                sel_union = np.isin(types, list(self.atom_types))
+                types = types[sel_union]
+            pos_parts.append(blk.cols(["x", "y", "z"])[:, sel_union, :])
+            len_parts.append(blk.box_lengths)
+            ts_parts.append(blk.timesteps)
+        pos = np.concatenate(pos_parts)
+        lengths = np.concatenate(len_parts)  # (T, 3)
+        times_ps = np.concatenate(ts_parts).astype(np.float64) * self.dt
+        n_frames = pos.shape[0]
         frame_dt = times_ps[1] - times_ps[0] if len(times_ps) > 1 else self.dt
-        pos = traj.cols(["x", "y", "z"])
-        lengths = traj.box_lengths  # (T, 3)
         out = {}
         for atom_type in self.atom_types:
             tau = self.residence_time[atom_type]
             lag = max(1, int(round(tau / frame_dt)))
-            lag = min(lag, traj.n_frames - 1)
+            lag = min(lag, n_frames - 1)
             sel = types == atom_type
             d = pos[lag:, sel, :] - pos[:-lag, sel, :]
             # wrapped input coordinates: apply minimum image so boundary

@@ -173,29 +173,73 @@ def _array_blocks(pos, lengths, pos_cols=None):
 
 _trace_log: list = []  # appended at block-program trace time (test hook)
 
+_FORCE_FRAMES_MESH = None  # test hook: force a mesh for _scan_frame_mean
 
-def _make_block_runner(step_fn, out_shape, dtype):
-    """One jitted frame-block program: scans ``step_fn(pos, pos_cols, L)``
-    over the block and returns the block's summed rows. Reused across
-    trajectories by the sweep layer (compiled once per block shape)."""
+
+def _auto_frames_mesh():
+    """A ("frames",)-axis mesh over all devices when more than one REAL
+    accelerator is attached (a TPU pod slice), else None. Entry points
+    then frame-shard transparently; on the CPU test backend this stays
+    off so float64 oracle results keep their exact summation order
+    (_FORCE_FRAMES_MESH overrides for the dedicated sharding test)."""
+    if _FORCE_FRAMES_MESH is not None:
+        return _FORCE_FRAMES_MESH
+    devs = jax.devices()
+    if len(devs) > 1 and jax.default_backend() not in ("cpu",):
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(devs), axis_names=("frames",))
+    return None
+
+
+def _make_block_runner(step_fn, out_shape, dtype, mesh=None):
+    """One jitted frame-block program: scans
+    ``step_fn(pos, pos_cols, L)`` over the block (weighted per frame, so
+    sharding pads carry zero weight) and returns the block's summed
+    rows. Reused across trajectories by the sweep layer (compiled once
+    per block shape).
+
+    ``mesh``: optional 1-axis ("frames",) device mesh — each device
+    scans its frame shard and the partial sums psum over ICI, making
+    every entry point frame-data-parallel across chips with no kernel
+    changes (the reference's process-pool axis, SURVEY section 2.3)."""
     acc_dtype = jnp.float32 if dtype == jnp.float32 else dtype
 
-    @jax.jit
-    def run_block(pos_b, pos_cols_b, lengths_b):
+    def scan_frames(pos_b, pos_cols_b, lengths_b, w_b):
         _trace_log.append(out_shape)
 
         def step(acc, xs):
-            p, pc, L = xs
-            return acc + step_fn(p, pc, L).astype(acc.dtype), None
+            p, pc, L, w = xs
+            return acc + w * step_fn(p, pc, L).astype(acc.dtype), None
 
         acc0 = jnp.zeros(out_shape, acc_dtype)
-        acc, _ = jax.lax.scan(step, acc0, (pos_b, pos_cols_b, lengths_b))
+        acc0 = acc0 + (pos_b[0, 0, 0] * 0).astype(acc_dtype)
+        acc, _ = jax.lax.scan(step, acc0,
+                              (pos_b, pos_cols_b, lengths_b, w_b))
         return acc
+
+    if mesh is None:
+        return jax.jit(scan_frames)
+
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from mdproptools_tpu.parallel.mesh import shard_map
+
+    @jax.jit
+    @_partial(shard_map, mesh=mesh,
+              in_specs=(P("frames"), P("frames"), P("frames"),
+                        P("frames")),
+              out_specs=P(), check_vma=False)
+    def run_block(pos_b, pos_cols_b, lengths_b, w_b):
+        return jax.lax.psum(scan_frames(pos_b, pos_cols_b, lengths_b, w_b),
+                            "frames")
 
     return run_block
 
 
-def _run_stream(run_block, out_shape, blocks, dtype):
+def _run_stream(run_block, out_shape, blocks, dtype, n_pad_to=1):
     """Stream (pos_b, pos_cols_b|None, lengths_b) host blocks through a
     block runner; returns the frame mean (running sum fetched once per
     block, divided by the streamed frame count on host — the reference's
@@ -209,13 +253,28 @@ def _run_stream(run_block, out_shape, blocks, dtype):
     pending = None  # device result of the previous block, not yet fetched
     for pos_b, pc_b, len_b in blocks:
         with stage("frame_block", start=T, frames=pos_b.shape[0]):
+            nb = pos_b.shape[0]
+            w = np.ones(nb)
+            if n_pad_to > 1 and nb % n_pad_to:
+                # frame-mesh sharding needs equal shards: pad with
+                # zero-weight copies of the first frame
+                extra = n_pad_to - nb % n_pad_to
+                pos_b = np.concatenate(
+                    [pos_b, np.repeat(pos_b[:1], extra, axis=0)])
+                if pc_b is not None:
+                    pc_b = np.concatenate(
+                        [pc_b, np.repeat(pc_b[:1], extra, axis=0)])
+                len_b = np.concatenate(
+                    [len_b, np.repeat(len_b[:1], extra, axis=0)])
+                w = np.concatenate([w, np.zeros(extra)])
             pb = jnp.asarray(pos_b, dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
-            cur = run_block(pb, pcb, jnp.asarray(len_b, dtype))
+            cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),
+                            jnp.asarray(w, dtype))
             if pending is not None:
                 total += np.asarray(pending, np.float64)
             pending = cur
-            T += pos_b.shape[0]
+            T += nb
     if pending is not None:
         total += np.asarray(pending, np.float64)
     if T == 0:
@@ -230,8 +289,10 @@ def _scan_frame_mean(step_fn, out_shape, blocks, dtype):
     arrays). Host/device memory stays O(block), independent of
     trajectory length. jit caches one program per distinct block size,
     of which there are at most two (FRAME_BLOCK and the remainder)."""
-    run_block = _make_block_runner(step_fn, out_shape, dtype)
-    return _run_stream(run_block, out_shape, blocks, dtype)
+    mesh = _auto_frames_mesh()
+    run_block = _make_block_runner(step_fn, out_shape, dtype, mesh=mesh)
+    return _run_stream(run_block, out_shape, blocks, dtype,
+                       n_pad_to=1 if mesh is None else mesh.size)
 
 
 def _make_rdf_step(

@@ -126,3 +126,37 @@ def test_sharded_triangle_matches_single():
             pp[t], pp[t], lay, lay, jnp.asarray(lengths[t]), 0.1, 128,
             6.0, True, dtype=jnp.float32, method="scatter"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_entry_point_frame_mesh(dump_pattern, monkeypatch):
+    """calc_atomic_rdf with a forced ("frames",) device mesh (the
+    transparent multi-chip path) must match the single-device result to
+    summation-reorder tolerance."""
+    import glob
+    import os
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from mdproptools_tpu.structural import rdf_cn
+
+    files = sorted(glob.glob(dump_pattern))[:6]
+    base = os.path.commonprefix(files).rsplit("/", 1)[0]
+    pattern = files[0].replace(".0.dump", ".*.dump") if False else None
+    # use a 6-file subset via symlinks
+    import tempfile
+    d = tempfile.mkdtemp(prefix="meshrdf_")
+    for i, f in enumerate(files):
+        os.symlink(f, f"{d}/dump.{i}.dump")
+    kw = dict(r_cut=8.0, bin_size=0.4, num_types=9,
+              mass=[16.0, 12.01, 1.008, 14.01, 32.06, 16.0, 12.01, 19.0,
+                    24.305],
+              partial_relations=[[8], [9]], save_mode=False,
+              precision="strict")
+    want = rdf_cn.calc_atomic_rdf(filename=f"{d}/dump.*.dump", **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("frames",))
+    monkeypatch.setattr(rdf_cn, "_FORCE_FRAMES_MESH", mesh)
+    got = rdf_cn.calc_atomic_rdf(filename=f"{d}/dump.*.dump", **kw)
+    # 6 frames pad to 8 (zero-weight); psum reorders f64 sums
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               rtol=1e-12, atol=0)

@@ -65,32 +65,43 @@ def bench_rdf(jnp, rdf_cn, traj_cache):
 
 
 def bench_rdf_50k(jnp, rdf_cn, traj_cache):
-    """RDF at the north-star 50k-atom scale: bundled box tiled 2x2x1."""
+    """RDF at the north-star 50k-atom scale: bundled box tiled 2x2x1.
+
+    Steady-state ms/frame = (t(T=20) - t(T=4)) / 16: every `_rdf_mean`
+    call re-traces its block program and loads the executable from the
+    persistent cache (~2-3 s) plus one device fetch (~0.05-0.25 s) — a
+    real trajectory pays those once per 128-frame block, not per frame,
+    and the two-length difference cancels them exactly."""
     pos, codes, lengths, _ = traj_cache
     L = lengths[0]
     reps = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0)]
     pos50 = np.concatenate([pos[0] + np.array(r) * L for r in reps])
     codes50 = np.tile(codes, len(reps))
     len50 = np.array([L[0] * 2, L[1] * 2, L[2]])
-    T = 4
-    posT = np.broadcast_to(pos50, (T,) + pos50.shape).copy()
-    lenT = np.broadcast_to(len50, (T, 3)).copy()
     counts50 = np.bincount(codes50 - 1, minlength=9).astype(np.float64)
     relations = np.array([[8, 1], [8, 4], [8, 6], [8, 8]])
 
-    def run():
+    def run(T):
+        posT = np.broadcast_to(pos50, (T,) + pos50.shape).copy()
+        lenT = np.broadcast_to(len50, (T, 3)).copy()
         return rdf_cn._rdf_mean(
             posT, codes50, 9, lenT, 0.05, 400, 20.0, relations,
             counts50, counts50, exclude_self=True, with_full=True,
             dtype=jnp.float32,
         )
 
-    g_full, _ = run()
+    T_SMALL, T_BIG = 4, 20
+    run(T_SMALL)  # warm/compile both block shapes
+    run(T_BIG)
     t0 = time.time()
-    g_full, _ = run()
-    dt = time.time() - t0
+    run(T_SMALL)
+    dt_small = time.time() - t0
+    t0 = time.time()
+    g_full, _ = run(T_BIG)
+    dt_big = time.time() - t0
+    dt = max(dt_big - dt_small, 1e-9) / (T_BIG - T_SMALL)
     assert abs(float(g_full[-1]) - 1.0) < 0.05
-    return pos50.shape[0], dt / T * 1000.0  # (atoms, ms/frame)
+    return pos50.shape[0], dt * 1000.0  # (atoms, ms/frame)
 
 
 def bench_msd():

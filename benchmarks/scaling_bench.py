@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""
+Atom-count scaling benchmark -> benchmarks/scaling.json.
+
+Replicates the bundled 10,479-atom Mg(TFSI)2/DME box 2x2x1 / 2x2x2 /
+2x2x4 (the north-star 50k-atom scale and beyond) and measures the
+production RDF path (``rdf_cn._rdf_mean``: device sort + Pallas kernel
+dispatch + per-frame normalization, fast/f32) in ms/frame on the real
+TPU.
+
+Methodology: steady-state per-frame cost as (t(T=20) - t(T=4)) / 16.
+Every ``_rdf_mean`` call rebuilds its jitted block program (a fresh
+closure), paying ~2-3 s of re-trace + persistent-cache executable load
+plus a ~0.05-0.25 s device fetch through the tunnel — costs a real
+trajectory pays once per FRAME_BLOCK=128 frames, not per frame. The
+difference of two trajectory lengths cancels those fixed terms exactly
+(both runs are warmed first so no remote compiles are timed).
+
+Run: python benchmarks/scaling_bench.py   (JAX_PLATFORMS as shipped)
+"""
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+import numpy as np  # noqa: E402
+
+DATA = "/root/reference/data/mg_tfsi_dme/dump.nvt.5000000.dump"
+RELATIONS = np.array([[8, 1], [8, 4], [8, 6], [8, 8]])
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(HERE), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from mdproptools_tpu.io.lammps_dump import read_trajectory
+    from mdproptools_tpu.structural import rdf_cn
+
+    traj = read_trajectory(DATA, columns=["id", "type", "x", "y", "z"])
+    codes1 = traj.col("type")[0].astype(np.int64)
+    pos1 = traj.cols(["x", "y", "z"])[0]
+    L1 = traj.box_lengths[0]
+
+    T_SMALL, T_BIG = 4, 20
+
+    rows = []
+    for reps in [(1, 1, 1), (2, 1, 1), (2, 2, 1), (2, 2, 2), (2, 2, 4)]:
+        shifts = [(i, j, k) for i in range(reps[0])
+                  for j in range(reps[1]) for k in range(reps[2])]
+        pos = np.concatenate([pos1 + np.array(s) * L1 for s in shifts])
+        codes = np.tile(codes1, len(shifts))
+        L = L1 * np.array(reps)
+        counts = np.bincount(codes - 1, minlength=9).astype(np.float64)
+
+        def run(T):
+            posT = np.broadcast_to(pos, (T,) + pos.shape).copy()
+            lenT = np.broadcast_to(L, (T, 3)).copy()
+            return rdf_cn._rdf_mean(
+                posT, codes, 9, lenT, 0.05, 400, 20.0, RELATIONS,
+                counts, counts, exclude_self=True, with_full=True,
+                dtype=jnp.float32,
+            )
+
+        g_full, _ = run(T_SMALL)  # warm/compile both block shapes
+        run(T_BIG)
+        t0 = time.time()
+        run(T_SMALL)
+        dt_small = time.time() - t0
+        t0 = time.time()
+        g_full, _ = run(T_BIG)
+        dt_big = time.time() - t0
+        dt = max(dt_big - dt_small, 1e-9) / (T_BIG - T_SMALL)
+        assert abs(float(g_full[-1]) - 1.0) < 0.05, "g(r->r_cut) != 1"
+        rows.append({
+            "atoms": int(len(codes)),
+            "ms_per_frame": round(dt * 1000.0, 1),
+            "frames_per_s": round(1.0 / dt, 2),
+            "box": [round(float(v), 2) for v in L],
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    out = {
+        "workload": ("full+partial RDF, 400 bins, r_cut=20, fast/f32, "
+                     "TPU v5e, bundled box tiled"),
+        "rows": rows,
+        "unix_time": int(time.time()),
+        "methodology": (
+            "steady-state ms/frame = (t(T=20) - t(T=4)) / 16, cancelling "
+            "per-call re-trace/cache-load (~2-3 s) and the device fetch "
+            "(~0.05-0.25 s through the tunnel) that a real trajectory "
+            "pays once per 128-frame block, not per frame; includes the "
+            "per-frame device sort. Box tiled from the bundled 49.18 A "
+            "cube; r_cut 20 A. Kernel dispatch is the production policy "
+            "(type-block triangle kernel at small N; ORB-sorted "
+            "relation-projected kernel once the tile cull pays, "
+            "kept_est < 0.6)."),
+    }
+    with open(os.path.join(HERE, "scaling.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote", os.path.join(HERE, "scaling.json"))
+
+
+if __name__ == "__main__":
+    main()

@@ -453,6 +453,69 @@ def device_sort_global(pos, n_atoms: int, n_padded: int, lengths,
     return jnp.where(order < n_atoms, order, -1)
 
 
+def device_sort_orb(pos, n_atoms: int, n_padded: int, lengths=None):
+    """On-device GLOBAL balanced-ORB permutation (recursive 128-aligned
+    median bisection): returns (n_padded,) int32, pad slots -1.
+
+    Each level sorts every segment along its own longest axis and splits
+    at the real-atom median rounded to a LANE multiple, so (a) tiles are
+    axis-aligned BOXES — no space-filling-curve jumps, which tightens
+    the bounding-sphere tail the kernel cull sees (a single fat tile
+    makes every tile pair touching it kept) — and (b) pads sink to the
+    rightmost leaf, keeping every other tile fully dense. ``lengths`` is
+    accepted for interface parity with ``device_sort_global`` (ORB boxes
+    never straddle the periodic boundary; the cull's torus metric covers
+    cross-boundary proximity). Like the Hilbert sort, reordering only
+    changes summation order of exact integer counts: results are
+    bit-identical to any other layout.
+    """
+    del lengths
+    n_tiles = max(n_padded // LANE, 1)
+    levels = max(int(np.ceil(np.log2(n_tiles))), 0)
+    qlev = jnp.int32(1 << 20)  # within-segment key quantization
+    pos32 = pos[:, :3].astype(jnp.float32)
+    p_all = jnp.concatenate(
+        [pos32, jnp.zeros((n_padded - n_atoms, 3), jnp.float32)])
+    idx = jnp.arange(n_padded, dtype=jnp.int32)
+    seg = jnp.zeros(n_padded, jnp.int32)
+    big = jnp.float32(3.4e38)
+    for level in range(levels):
+        nseg = 1 << level
+        p = jnp.take(p_all, idx, axis=0)
+        valid = idx < n_atoms
+        lo = jax.ops.segment_min(
+            jnp.where(valid[:, None], p, big), seg, num_segments=nseg)
+        hi = jax.ops.segment_max(
+            jnp.where(valid[:, None], p, -big), seg, num_segments=nseg)
+        ext = hi - lo  # (nseg, 3)
+        ax = jnp.argmax(ext, axis=1)[seg]  # longest axis, per atom
+        kc = jnp.take_along_axis(p, ax[:, None], axis=1)[:, 0]
+        lo_a = jnp.take_along_axis(lo[seg], ax[:, None], axis=1)[:, 0]
+        ext_a = jnp.maximum(
+            jnp.take_along_axis(ext[seg], ax[:, None], axis=1)[:, 0],
+            jnp.float32(1e-30))
+        q = jnp.clip(((kc - lo_a) / ext_a * (qlev - 1)).astype(jnp.int32),
+                     0, qlev - 1)
+        q = jnp.where(valid, q, qlev)  # pads last within their segment
+        seg, q, idx = jax.lax.sort((seg, q, idx), num_keys=2)
+        # LANE-aligned split at the real-atom median; reals sort before
+        # pads, so a split <= real count gives an all-real left child
+        ones = jnp.ones(n_padded, jnp.int32)
+        slots = jax.ops.segment_sum(ones, seg, num_segments=nseg)
+        reals = jax.ops.segment_sum(
+            (idx < n_atoms).astype(jnp.int32), seg, num_segments=nseg)
+        half = (reals.astype(jnp.float32) / (2 * LANE)
+                + 0.5).astype(jnp.int32) * LANE
+        split = jnp.clip(half, LANE, jnp.maximum(slots - LANE, LANE))
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(slots)[:-1].astype(jnp.int32)])
+        rank = jnp.arange(n_padded, dtype=jnp.int32) - starts[seg]
+        right = (slots[seg] >= 2 * LANE) & (rank >= split[seg])
+        seg = 2 * seg + right.astype(jnp.int32)
+    return jnp.where(idx < n_atoms, idx, -1)
+
+
 def project_relations(hist, relations, with_full: bool):
     """Project a (n_codes_r, n_codes_c, n_bins) ordered-pair histogram
     onto (full, (R, n_bins)) rows — the scatter-path oracle for the

@@ -73,6 +73,29 @@ KC = 32  # column tiles per grid program (fixed ~4.5 us/program dispatch
 #         subtile keeps its own cull bit and skip branch)
 CULL_MARGIN = 0.1  # Angstrom slack absorbing f32 rounding in the mask
 
+def _srl(w, n):
+    # int32 shift-amount operand (a bare Python literal promotes to int64
+    # under the x64 test config and lax requires matching dtypes)
+    return jax.lax.shift_right_logical(w, jnp.int32(n))
+
+
+def _popcount32(w):
+    """SWAR popcount of a scalar int32 (Mosaic has no scalar
+    population_count). Used as the exact trip count of the kept-subtile
+    loops: the loop runs once per SET bit, so culled subtiles cost
+    nothing at all (the earlier bit-gated zero-trip form still paid
+    ~2.3 us of loop/branch overhead per CULLED subtile)."""
+    w = w - (_srl(w, 1) & jnp.int32(0x55555555))
+    w = (w & jnp.int32(0x33333333)) + (_srl(w, 2) & jnp.int32(0x33333333))
+    w = (w + _srl(w, 4)) & jnp.int32(0x0F0F0F0F)
+    return _srl(w * jnp.int32(0x01010101), 24)
+
+
+def _ctz32(w):
+    """Index of the lowest set bit (undefined at w == 0, never called
+    there: the popcount trip count guards it)."""
+    return _popcount32((w & (-w)) - jnp.int32(1))
+
 
 def _tile_geometry(p, idx, lengths):
     """Bounding spheres (torus metric) of (n, T, 3) position tiles.
@@ -174,11 +197,14 @@ def _kernel(
 
     word = mask_ref[i, j]  # this program's KC keep bits
 
-    # zero-trip fori gating, NOT pl.when: a pl.when whose body contains
-    # a loop gets PREDICATED by Mosaic (the body executes with stores
-    # masked), so all-culled programs still paid full tile cost — the
-    # cull saved nothing. A fori_loop with a data-dependent trip count
-    # of 0 is a real runtime skip.
+    # Data-dependent fori trip counts, NOT pl.when: a pl.when whose body
+    # contains a loop gets PREDICATED by Mosaic (the body executes with
+    # stores masked), so gated programs still paid full tile cost. The
+    # outer loop runs 0/1 times (skips all-culled programs before the
+    # row setup); the subtile loop walks exactly the SET bits of the keep
+    # word via popcount/ctz, so culled subtiles cost nothing at all (the
+    # earlier per-bit zero-trip gate cost ~2.3 us per CULLED subtile,
+    # which erased most of the cull's win at moderate kept fractions).
     def _group(_g, carry_g):
         ta = chunk_codes_ref[i]
         lx = len_ref[0, 0]
@@ -200,85 +226,79 @@ def _kernel(
         iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 1)
         iota_hi = jax.lax.broadcasted_iota(jnp.int32, (LANE, H_SUB), 1)
 
-        def subtile(k, carry):
+        def subtile(_t, w):  # runs once per SET bit of the keep word
+            k = _ctz32(w)
             jj = j * KC + k  # global column tile index
-            bit = jax.lax.shift_right_logical(
-                word, k.astype(jnp.int32)) & jnp.int32(1)
+            # lane slices of the resident pack (128-aligned, short row)
+            off = pl.multiple_of(k * F, F)
+            xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
+            yc = colpack_ref[j, 1, pl.ds(off, F)]
+            zc = colpack_ref[j, 2, pl.ds(off, F)]
+            idxc = colpack_ref[j, 3, pl.ds(off, F)]  # float indices
+            tb = tile_codes_ref[jj]
 
-            def _heavy(_h, carry_h):  # runs iff bit == 1 (zero-trip gate)
-                # lane slices of the resident pack (128-aligned, short row)
-                off = pl.multiple_of(k * F, F)
-                xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
-                yc = colpack_ref[j, 1, pl.ds(off, F)]
-                zc = colpack_ref[j, 2, pl.ds(off, F)]
-                idxc = colpack_ref[j, 3, pl.ds(off, F)]  # float indices
-                tb = tile_codes_ref[jj]
+            dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
+            dy = wrap(yr - yc[None, :], ly)
+            dz = wrap(zr - zc[None, :], lz)
+            rsq = dx * dx + dy * dy + dz * dz
+            b = (jnp.sqrt(rsq) * inv_ddr).astype(jnp.int32)
+            valid = (rsq < rc2) & (b < n_bins)
+            valid &= (idxr >= 0) & (idxc[None, :] >= 0)
+            if triangle:
+                # diagonal tile (jj == this chunk's GLOBAL tile):
+                # count each unordered slot pair once
+                valid &= (iota_lo > jax.lax.broadcasted_iota(
+                    jnp.int32, (LANE, F), 0)) | (jj != row_tiles_ref[i])
+            if exclude_self:
+                valid &= idxr != idxc[None, :]
+            # radix split batched over the whole tile ((LANE, 1)-shaped
+            # ops inside the column loop run at 1/128 lane efficiency,
+            # so hoist everything hoistable); invalid pairs get radix-hi
+            # H_SUB, which selects an all-zero one-hot row
+            hi_t = jnp.where(valid, jax.lax.div(b, jnp.int32(F)), H_SUB)
+            lo_t = b - jax.lax.div(b, jnp.int32(F)) * jnp.int32(F)
 
-                dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
-                dy = wrap(yr - yc[None, :], ly)
-                dz = wrap(zr - zc[None, :], lz)
-                rsq = dx * dx + dy * dy + dz * dz
-                b = (jnp.sqrt(rsq) * inv_ddr).astype(jnp.int32)
-                valid = (rsq < rc2) & (b < n_bins)
-                valid &= (idxr >= 0) & (idxc[None, :] >= 0)
-                if triangle:
-                    # diagonal tile (jj == this chunk's GLOBAL tile):
-                    # count each unordered slot pair once
-                    valid &= (iota_lo > jax.lax.broadcasted_iota(
-                        jnp.int32, (LANE, F), 0)) | (jj != row_tiles_ref[i])
-                if exclude_self:
-                    valid &= idxr != idxc[None, :]
-                # radix split batched over the whole tile ((LANE, 1)-shaped
-                # ops inside the column loop run at 1/128 lane efficiency,
-                # so hoist everything hoistable); invalid pairs get radix-hi
-                # H_SUB, which selects an all-zero one-hot row
-                hi_t = jnp.where(valid, jax.lax.div(b, jnp.int32(F)), H_SUB)
-                lo_t = b - jax.lax.div(b, jnp.int32(F)) * jnp.int32(F)
-
-                # C_GROUP columns per fori iteration, one small MXU dot each
-                # into C_GROUP INDEPENDENT accumulators (no dependency
-                # chain, so the dots pipeline); a lane roll walks the tile.
-                # fori_loop (not a full static unroll) so Mosaic reuses
-                # scratch buffers.
-                def group_body(g, carry):
-                    hi_c, lo_c, accs = carry
-                    new_accs = []
-                    for q in range(C_GROUP):
-                        oh_hi = (hi_c[:, q:q + 1] == iota_hi).astype(
-                            jnp.bfloat16)
-                        oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
-                            jnp.bfloat16)
-                        new_accs.append(accs[q] + jax.lax.dot_general(
-                            oh_hi,
-                            oh_lo,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ))  # (H_SUB, F)
-                    return (
-                        pltpu.roll(hi_c, F - C_GROUP, 1),
-                        pltpu.roll(lo_c, F - C_GROUP, 1),
-                        tuple(new_accs),
-                    )
-
-                accs0 = tuple(
-                    jnp.zeros((H_SUB, F), jnp.float32)
-                    for _ in range(C_GROUP)
+            # C_GROUP columns per fori iteration, one small MXU dot each
+            # into C_GROUP INDEPENDENT accumulators (no dependency
+            # chain, so the dots pipeline); a lane roll walks the tile.
+            # fori_loop (not a full static unroll) so Mosaic reuses
+            # scratch buffers.
+            def group_body(g, carry):
+                hi_c, lo_c, accs = carry
+                new_accs = []
+                for q in range(C_GROUP):
+                    oh_hi = (hi_c[:, q:q + 1] == iota_hi).astype(
+                        jnp.bfloat16)
+                    oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
+                        jnp.bfloat16)
+                    new_accs.append(accs[q] + jax.lax.dot_general(
+                        oh_hi,
+                        oh_lo,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ))  # (H_SUB, F)
+                return (
+                    pltpu.roll(hi_c, F - C_GROUP, 1),
+                    pltpu.roll(lo_c, F - C_GROUP, 1),
+                    tuple(new_accs),
                 )
-                _, _, accs = jax.lax.fori_loop(
-                    0, F // C_GROUP, group_body, (hi_t, lo_t, accs0)
-                )
-                total = accs[0]
-                for a in accs[1:]:
-                    total = total + a
-                row = (ta * n_codes_c + tb) * H_SUB
-                cur = out_ref[pl.ds(row, H_SUB), :]
-                out_ref[pl.ds(row, H_SUB), :] = cur + total
-                return carry_h
 
-            jax.lax.fori_loop(0, bit, _heavy, 0)
-            return carry
+            accs0 = tuple(
+                jnp.zeros((H_SUB, F), jnp.float32)
+                for _ in range(C_GROUP)
+            )
+            _, _, accs = jax.lax.fori_loop(
+                0, F // C_GROUP, group_body, (hi_t, lo_t, accs0)
+            )
+            total = accs[0]
+            for a in accs[1:]:
+                total = total + a
+            row = (ta * n_codes_c + tb) * H_SUB
+            cur = out_ref[pl.ds(row, H_SUB), :]
+            out_ref[pl.ds(row, H_SUB), :] = cur + total
+            return w & (w - 1)
 
-        jax.lax.fori_loop(0, KC, subtile, 0)
+        jax.lax.fori_loop(0, _popcount32(word), subtile, word)
         return carry_g
 
     jax.lax.fori_loop(0, (word != 0).astype(jnp.int32), _group, 0)
@@ -451,8 +471,11 @@ def pair_hist_rows_pallas(
 # Per-type blocks (TypeLayout) give minority species box-sized tiles
 # (median tile radius 25 A on the bundled system tiled to 42k atoms), so
 # the cull keeps ~96% of tile pairs at r_cut=20 — useless. This kernel
-# instead takes atoms in ONE global Morton order (mixed types, radius
-# ~ (128/rho)^(1/3) ~ 7 A) and projects the histogram onto exactly the
+# instead takes atoms in ONE spatially-compact global order (mixed
+# types; balanced-ORB box tiles, ``pairs.device_sort_orb``, measure
+# ~9.3/9.9/11.1 A med/p90/max radius at the bundled density vs Hilbert's
+# 13.4/16.0/20.7 — the tail matters because one fat tile keeps every
+# tile pair touching it) and projects the histogram onto exactly the
 # rows the RDF needs — [full?] + one row per partial relation — via a
 # single fused multi-hot one-hot dot per column:
 #
@@ -465,7 +488,9 @@ def pair_hist_rows_pallas(
 #   dot is the SUM of these one-hots (values 0..3, exact in bf16).
 
 KC_REL = 32  # column tiles per grid program (relation kernel)
-C_GROUP_REL = 16  # independent column dots per roll step
+C_GROUP_REL = 64  # independent column dots per roll step (swept 16/32/64
+#                   on v5e with the ORB layout at 42k/84k atoms:
+#                   528/489/487 and 1244/1148/1137 ms/frame)
 
 
 def _rel_kernel(
@@ -516,99 +541,93 @@ def _rel_kernel(
         iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 1)
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (LANE, m_pad), 1)
 
-        def subtile(k, carry):
+        def subtile(_t, w):  # runs once per SET bit of the keep word
+            k = _ctz32(w)
             jj = j * KC_REL + k
-            bit = jax.lax.shift_right_logical(
-                word, k.astype(jnp.int32)) & jnp.int32(1)
+            off = pl.multiple_of(k * F, F)
+            xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
+            yc = colpack_ref[j, 1, pl.ds(off, F)]
+            zc = colpack_ref[j, 2, pl.ds(off, F)]
+            idxc = colpack_ref[j, 3, pl.ds(off, F)]
+            tyc = colpack_ref[j, 4, pl.ds(off, F)]
 
-            def _heavy(_h, carry_h):
-                off = pl.multiple_of(k * F, F)
-                xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
-                yc = colpack_ref[j, 1, pl.ds(off, F)]
-                zc = colpack_ref[j, 2, pl.ds(off, F)]
-                idxc = colpack_ref[j, 3, pl.ds(off, F)]
-                tyc = colpack_ref[j, 4, pl.ds(off, F)]
+            dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
+            dy = wrap(yr - yc[None, :], ly)
+            dz = wrap(zr - zc[None, :], lz)
+            rsq = dx * dx + dy * dy + dz * dz
+            b = (jnp.sqrt(rsq) * inv_ddr).astype(jnp.int32)
+            valid = (rsq < rc2) & (b < n_bins)
+            valid &= (idxr >= 0) & (idxc[None, :] >= 0)
+            if triangle:
+                # cyclic-half rule: d == 0 (jj == i) is the diagonal
+                valid &= (iota_lo > jax.lax.broadcasted_iota(
+                    jnp.int32, (LANE, F), 0)) | (jj != i)
+            if exclude_self:
+                valid &= idxr != idxc[None, :]
 
-                dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
-                dy = wrap(yr - yc[None, :], ly)
-                dz = wrap(zr - zc[None, :], lz)
-                rsq = dx * dx + dy * dy + dz * dz
-                b = (jnp.sqrt(rsq) * inv_ddr).astype(jnp.int32)
-                valid = (rsq < rc2) & (b < n_bins)
-                valid &= (idxr >= 0) & (idxc[None, :] >= 0)
+            hi = jax.lax.div(b, jnp.int32(F))
+            lo_t = b - hi * jnp.int32(F)
+            # exclusive relation match -> joint row blocks (types are
+            # small ints stored exactly in f32)
+            relb = jnp.zeros((LANE, F), jnp.int32)
+            relb_m = jnp.zeros((LANE, F), jnp.int32) if triangle else None
+            for r, (a_r, b_r) in enumerate(relations):
+                m_r = ((tyr == jnp.float32(a_r))
+                       & (tyc[None, :] == jnp.float32(b_r)))
+                relb = relb + jnp.int32(r + 1) * m_r.astype(jnp.int32)
                 if triangle:
-                    # cyclic-half rule: d == 0 (jj == i) is the diagonal
-                    valid &= (iota_lo > jax.lax.broadcasted_iota(
-                        jnp.int32, (LANE, F), 0)) | (jj != i)
-                if exclude_self:
-                    valid &= idxr != idxc[None, :]
+                    m_m = ((tyr == jnp.float32(b_r))
+                           & (tyc[None, :] == jnp.float32(a_r)))
+                    relb_m = relb_m + jnp.int32(r + 1) * m_m.astype(
+                        jnp.int32)
+            j1_t = jnp.where(valid & (relb > 0),
+                             relb * jnp.int32(hb) + hi, trash)
+            if triangle:
+                j2_t = jnp.where(valid & (relb_m > 0),
+                                 relb_m * jnp.int32(hb) + hi, trash)
+            if with_full:
+                jf_t = jnp.where(valid, hi, trash)
 
-                hi = jax.lax.div(b, jnp.int32(F))
-                lo_t = b - hi * jnp.int32(F)
-                # exclusive relation match -> joint row blocks (types are
-                # small ints stored exactly in f32)
-                relb = jnp.zeros((LANE, F), jnp.int32)
-                relb_m = jnp.zeros((LANE, F), jnp.int32) if triangle else None
-                for r, (a_r, b_r) in enumerate(relations):
-                    m_r = ((tyr == jnp.float32(a_r))
-                           & (tyc[None, :] == jnp.float32(b_r)))
-                    relb = relb + jnp.int32(r + 1) * m_r.astype(jnp.int32)
-                    if triangle:
-                        m_m = ((tyr == jnp.float32(b_r))
-                               & (tyc[None, :] == jnp.float32(a_r)))
-                        relb_m = relb_m + jnp.int32(r + 1) * m_m.astype(
-                            jnp.int32)
-                j1_t = jnp.where(valid & (relb > 0),
-                                 relb * jnp.int32(hb) + hi, trash)
-                if triangle:
-                    j2_t = jnp.where(valid & (relb_m > 0),
-                                     relb_m * jnp.int32(hb) + hi, trash)
-                if with_full:
-                    jf_t = jnp.where(valid, hi, trash)
-
-                def group_body(g, carry2):
-                    arrs, accs = carry2
-                    lo_c = arrs[0]
-                    new_accs = []
-                    for q in range(C_GROUP_REL):
-                        oh = (arrs[1][:, q:q + 1] == iota_m).astype(
+            def group_body(g, carry2):
+                arrs, accs = carry2
+                lo_c = arrs[0]
+                new_accs = []
+                for q in range(C_GROUP_REL):
+                    oh = (arrs[1][:, q:q + 1] == iota_m).astype(
+                        jnp.bfloat16)
+                    for extra in arrs[2:]:
+                        oh = oh + (extra[:, q:q + 1] == iota_m).astype(
                             jnp.bfloat16)
-                        for extra in arrs[2:]:
-                            oh = oh + (extra[:, q:q + 1] == iota_m).astype(
-                                jnp.bfloat16)
-                        oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
-                            jnp.bfloat16)
-                        new_accs.append(accs[q] + jax.lax.dot_general(
-                            oh, oh_lo,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ))  # (m_pad, F)
-                    rolled = tuple(
-                        pltpu.roll(a, F - C_GROUP_REL, 1) for a in arrs)
-                    return (rolled, tuple(new_accs))
+                    oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
+                        jnp.bfloat16)
+                    new_accs.append(accs[q] + jax.lax.dot_general(
+                        oh, oh_lo,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ))  # (m_pad, F)
+                rolled = tuple(
+                    pltpu.roll(a, F - C_GROUP_REL, 1) for a in arrs)
+                return (rolled, tuple(new_accs))
 
-                arrs = [lo_t, j1_t]
-                if triangle:
-                    arrs.append(j2_t)
-                if with_full:
-                    arrs.append(jf_t)
-                accs0 = tuple(
-                    jnp.zeros((m_pad, F), jnp.float32)
-                    for _ in range(C_GROUP_REL)
-                )
-                (_, accs) = jax.lax.fori_loop(
-                    0, F // C_GROUP_REL, group_body, (tuple(arrs), accs0)
-                )
-                total = accs[0]
-                for a in accs[1:]:
-                    total = total + a
-                out_ref[...] = out_ref[...] + total
-                return carry_h
+            arrs = [lo_t, j1_t]
+            if triangle:
+                arrs.append(j2_t)
+            if with_full:
+                arrs.append(jf_t)
+            accs0 = tuple(
+                jnp.zeros((m_pad, F), jnp.float32)
+                for _ in range(C_GROUP_REL)
+            )
+            (_, accs) = jax.lax.fori_loop(
+                0, F // C_GROUP_REL, group_body, (tuple(arrs), accs0)
+            )
+            total = accs[0]
+            for a in accs[1:]:
+                total = total + a
+            out_ref[...] = out_ref[...] + total
+            return w & (w - 1)
 
-            jax.lax.fori_loop(0, bit, _heavy, 0)
-            return carry
-
-        jax.lax.fori_loop(0, KC_REL, subtile, 0)
+        jax.lax.fori_loop(0, _popcount32(word), subtile, word)
         return carry_g
 
     jax.lax.fori_loop(0, (word != 0).astype(jnp.int32), _group, 0)
@@ -804,52 +823,46 @@ def _cn_kernel(
         iota_lane = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 1)
         iota_sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 0)
 
-        def subtile(k, carry):
+        def subtile(_t, w):  # runs once per SET bit of the keep word
+            k = _ctz32(w)
             jj = j * KC_REL + k
-            bit = jax.lax.shift_right_logical(
-                word, k.astype(jnp.int32)) & jnp.int32(1)
+            off = pl.multiple_of(k * F, F)
+            xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
+            yc = colpack_ref[j, 1, pl.ds(off, F)]
+            zc = colpack_ref[j, 2, pl.ds(off, F)]
+            idxc = colpack_ref[j, 3, pl.ds(off, F)]
+            tyc = colpack_ref[j, 4, pl.ds(off, F)]
 
-            def _heavy(_h, carry_h):
-                off = pl.multiple_of(k * F, F)
-                xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
-                yc = colpack_ref[j, 1, pl.ds(off, F)]
-                zc = colpack_ref[j, 2, pl.ds(off, F)]
-                idxc = colpack_ref[j, 3, pl.ds(off, F)]
-                tyc = colpack_ref[j, 4, pl.ds(off, F)]
-
-                dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
-                dy = wrap(yr - yc[None, :], ly)
-                dz = wrap(zr - zc[None, :], lz)
-                rsq = dx * dx + dy * dy + dz * dz
-                valid = (idxr >= 0) & (idxc[None, :] >= 0)
+            dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
+            dy = wrap(yr - yc[None, :], ly)
+            dz = wrap(zr - zc[None, :], lz)
+            rsq = dx * dx + dy * dy + dz * dz
+            valid = (idxr >= 0) & (idxc[None, :] >= 0)
+            if triangle:
+                # cyclic-half rule: jj == i is the diagonal tile
+                valid &= (iota_lane > iota_sub) | (jj != i)
+            if exclude_self:
+                valid &= idxr != idxc[None, :]
+            for r, (a_r, b_r) in enumerate(relations):
+                m = ((tyr == jnp.float32(a_r))
+                     & (tyc[None, :] == jnp.float32(b_r)))
                 if triangle:
-                    # cyclic-half rule: jj == i is the diagonal tile
-                    valid &= (iota_lane > iota_sub) | (jj != i)
-                if exclude_self:
-                    valid &= idxr != idxc[None, :]
-                for r, (a_r, b_r) in enumerate(relations):
-                    m = ((tyr == jnp.float32(a_r))
-                         & (tyc[None, :] == jnp.float32(b_r)))
-                    if triangle:
-                        # both orientations of each unordered pair
-                        mm = ((tyr == jnp.float32(b_r))
-                              & (tyc[None, :] == jnp.float32(a_r)))
-                        cnt = (m.astype(jnp.float32)
-                               + mm.astype(jnp.float32))
-                    else:
-                        cnt = m.astype(jnp.float32)
-                    w = jnp.where(
-                        valid & (rsq < jnp.float32(r_cuts_sq[r])),
-                        cnt, 0.0)
-                    s = jnp.sum(w, axis=0, keepdims=True)  # (1, F)
-                    cur = out_ref[pl.ds(r, 1), :]
-                    out_ref[pl.ds(r, 1), :] = cur + s
-                return carry_h
+                    # both orientations of each unordered pair
+                    mm = ((tyr == jnp.float32(b_r))
+                          & (tyc[None, :] == jnp.float32(a_r)))
+                    cnt = (m.astype(jnp.float32)
+                           + mm.astype(jnp.float32))
+                else:
+                    cnt = m.astype(jnp.float32)
+                wgt = jnp.where(
+                    valid & (rsq < jnp.float32(r_cuts_sq[r])),
+                    cnt, 0.0)
+                s = jnp.sum(wgt, axis=0, keepdims=True)  # (1, F)
+                cur = out_ref[pl.ds(r, 1), :]
+                out_ref[pl.ds(r, 1), :] = cur + s
+            return w & (w - 1)
 
-            jax.lax.fori_loop(0, bit, _heavy, 0)
-            return carry
-
-        jax.lax.fori_loop(0, KC_REL, subtile, 0)
+        jax.lax.fori_loop(0, _popcount32(word), subtile, word)
         return carry_g
 
     jax.lax.fori_loop(0, (word != 0).astype(jnp.int32), _group, 0)

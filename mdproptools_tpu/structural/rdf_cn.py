@@ -334,30 +334,32 @@ def _make_rdf_step(
               else "onehot" if on_tpu and dtype == jnp.float32
               else "scatter")
     triangle = use_pallas and self_case
-    # estimated kept tile-pair fraction under a global Hilbert sort:
-    # 128-atom Hilbert tiles measure ~1.15 * (LANE/rho)^(1/3) in radius
-    # (empirical on the bundled system; Morton/Z-order was ~1.6x)
+    # estimated kept tile-pair fraction under a global balanced-ORB
+    # sort: 128-atom ORB box tiles measure ~0.88 * (LANE/rho)^(1/3) in
+    # median radius with a tight tail (max ~1.1x median; Hilbert curve
+    # tiles ran ~1.15x in the median with a ~1.8x tail, and one fat tile
+    # keeps every tile pair touching it)
     n_atoms = int(code_counts_rows.sum())
     v_min = float(np.prod(lengths, axis=1).min())
     rho = max(n_atoms / v_min, 1e-30)
-    rad = 1.15 * (pair_ops.LANE / rho) ** (1.0 / 3.0)
+    rad = 0.88 * (pair_ops.LANE / rho) ** (1.0 / 3.0)
     kept_est = 4.0 / 3.0 * np.pi * (r_cut + 2.0 * rad) ** 3 / v_min
     if spatial_sort == "auto":
         sort_on = use_pallas and kept_est < 0.85
     else:
         sort_on = bool(spatial_sort)
-    # the relation-projected mixed-tile kernel costs ~1.6x per pair but
-    # its compact Hilbert tiles let the cull skip (1 - kept) of the
-    # work; the dense type-block kernel barely culls (minority-species
-    # tiles are box-sized). Measured on v5e: type-block wins at
-    # kept_est 0.87 (42k atoms, 542 vs ~700 ms/frame) AND at 0.29
-    # (126k, 6.9 vs 8.8 s) — per-tile control-flow overhead (~2.3 us
-    # per gated subtile iteration on this backend) eats most of the
-    # cull's win, so the crossover sits far lower than pair-math
-    # alone predicts. Engage only when the cull is overwhelming.
+    # the relation-projected mixed-tile kernel costs ~1.5x per pair but
+    # its compact ORB tiles let the cull skip (1 - kept) of the tile
+    # pairs, and culled subtiles are free since the popcount-trip
+    # subtile walk (pairs_pallas._popcount32) — the dense type-block
+    # kernel barely culls (minority-species tiles are box-sized).
+    # Measured on v5e at 400 bins + 4 partials, rel-ORB vs type-block:
+    # 42k atoms 534 vs 560 ms/frame (kept_est 0.56, measured kept 0.42);
+    # 84k 1246 vs 1679 (kept_est 0.33, measured 0.26). Crossover sits
+    # near kept_est ~0.6; the advantage grows with N.
     distinct_rels = (len({(int(a), int(b)) for a, b in relation_matrix})
                      == relation_matrix.shape[0])
-    use_rel = use_pallas and distinct_rels and sort_on and kept_est < 0.15
+    use_rel = use_pallas and distinct_rels and sort_on and kept_est < 0.6
     ncell = pair_ops.pick_ncell(n_rows_total)
     n_pad_r = -(-n_atoms_rows // pair_ops.LANE) * pair_ops.LANE
     codes0_r = jnp.asarray(np.asarray(codes) - 1, jnp.float32)
@@ -367,7 +369,7 @@ def _make_rdf_step(
     relations0 = np.asarray(relation_matrix, np.int64) - 1
 
     def _sorted_side(p, L, n_atoms_side, n_pad, codes0):
-        pm = pair_ops.device_sort_global(p, n_atoms_side, n_pad, L, ncell)
+        pm = pair_ops.device_sort_orb(p, n_atoms_side, n_pad, L)
         pr = pair_ops.gather_padded_perm(p, pm)
         ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
         return pr, pm, ty
@@ -484,13 +486,12 @@ def _cn_mean(
         np.float64,
     )
     self_case = pos_cols is None
-    # TPU fast path: Hilbert-sorted mixed tiles + the relation-count
+    # TPU fast path: ORB-sorted mixed tiles + the relation-count
     # Pallas kernel (exact per-relation cutoffs, triangle for the self
     # case, tile cull) — ~100x the dense XLA compare-sum; strict/CPU
     # keeps the float64 pair_count_within path for oracle parity.
     use_cn_kernel = (jax.default_backend() not in ("cpu",)
                      and dtype == jnp.float32)
-    ncell = pair_ops.pick_ncell(int(code_counts_rows.sum()))
     n_pad_r = -(-pos.shape[1] // pair_ops.LANE) * pair_ops.LANE
     codes0_r = jnp.asarray(np.asarray(codes) - 1, jnp.float32)
     if not self_case:
@@ -499,7 +500,7 @@ def _cn_mean(
     relations0 = np.asarray(relation_matrix, np.int64) - 1
 
     def _sorted_side(p, L, n_atoms_side, n_pad, codes0):
-        pm = pair_ops.device_sort_global(p, n_atoms_side, n_pad, L, ncell)
+        pm = pair_ops.device_sort_orb(p, n_atoms_side, n_pad, L)
         pr = pair_ops.gather_padded_perm(p, pm)
         ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
         return pr, pm, ty

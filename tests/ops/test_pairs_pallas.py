@@ -231,6 +231,59 @@ def test_sharded_triangle_two_shards_sum_to_dense():
         np.testing.assert_array_equal(total, want)
 
 
+def test_orb_sort_valid_and_kernel_parity():
+    """Balanced-ORB sort: (a) a valid permutation with pads last, (b)
+    tiles no fatter than Hilbert's in the median, (c) the relation
+    kernel through the ORB layout equals the dense scatter projection."""
+    from mdproptools_tpu.ops.pairs_pallas import (
+        _tile_geometry, pair_hist_relations_pallas,
+    )
+
+    rng = np.random.default_rng(31)
+    n, box = 900, 16.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    L = jnp.full(3, box, jnp.float32)
+    n_pad = -(-n // 128) * 128
+
+    pm = np.asarray(pair_ops.device_sort_orb(jnp.asarray(pos), n, n_pad, L))
+    real = pm[pm >= 0]
+    assert len(real) == n and len(np.unique(real)) == n
+    # pads sink to the tail tile(s): every tile before the last real
+    # one is fully dense
+    occ = (pm.reshape(-1, 128) >= 0).sum(axis=1)
+    nz = np.nonzero(occ)[0]
+    assert (occ[nz[:-1]] == 128).all()
+
+    def med_radius(perm):
+        prn = pair_ops.gather_padded_perm(jnp.asarray(pos), jnp.asarray(perm))
+        nt = n_pad // 128
+        _, r = _tile_geometry(prn.reshape(nt, 128, 3),
+                              jnp.asarray(perm).reshape(nt, 128), L)
+        r = np.asarray(r)
+        return np.median(r[occ > 0])
+
+    pmh = pair_ops.device_sort_global(
+        jnp.asarray(pos), n, n_pad, L, pair_ops.pick_ncell(n))
+    assert med_radius(pm) <= med_radius(np.asarray(pmh)) * 1.05
+
+    pp = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    relations = np.array([[1, 2], [3, 3]])
+    hist = pair_ops.pair_hist(pp, pp, lay, lay, L, 0.1, 128, 6.0, True,
+                              dtype=jnp.float32, method="scatter")
+    wfull, wrels = pair_ops.project_relations(hist, relations, True)
+    pr = pair_ops.gather_padded_perm(jnp.asarray(pos), jnp.asarray(pm))
+    codes0 = jnp.asarray(codes - 1, jnp.float32)
+    pmj = jnp.asarray(pm)
+    ty = jnp.where(pmj >= 0, codes0[jnp.maximum(pmj, 0)], -1.0)
+    gfull, grels = pair_hist_relations_pallas(
+        pr, pmj, ty, pr, pmj, ty, relations - 1, L, 0.1, 128, 6.0,
+        True, True, triangle=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(grels), np.asarray(wrels))
+    np.testing.assert_array_equal(np.asarray(gfull), np.asarray(wfull))
+
+
 @pytest.mark.parametrize("exclude_self,triangle", [
     (True, False), (True, True), (False, False), (False, True),
 ])

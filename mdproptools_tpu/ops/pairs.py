@@ -217,6 +217,7 @@ def pair_hist(
     dtype=jnp.float32,
     onehot_dtype=None,
     method: str = "auto",
+    interpret: bool = False,
 ):
     """Ordered-pair distance histogram per (row code, col code).
 
@@ -242,7 +243,7 @@ def pair_hist(
         pos_r, idx_r, chunk_codes, pos_c, layout_c,
         n_codes_r=layout_r.n_codes, lengths=lengths, bin_size=bin_size,
         n_bins=n_bins, r_cut=r_cut, exclude_self=exclude_self, dtype=dtype,
-        onehot_dtype=onehot_dtype, method=method,
+        onehot_dtype=onehot_dtype, method=method, interpret=interpret,
     )
 
 

@@ -175,6 +175,12 @@ _trace_log: list = []  # appended at block-program trace time (test hook)
 
 _FORCE_FRAMES_MESH = None  # test hook: force a mesh for _scan_frame_mean
 
+# test hook: force the kernel-dispatch policy ("rel" | "type-block" |
+# None = auto). On the CPU backend forcing also runs the Pallas kernels
+# in interpreter mode, so the production dispatch branches (sorted
+# sides, projection, normalization wiring) are testable without a TPU.
+_FORCE_KERNEL = None
+
 
 def _auto_frames_mesh():
     """A ("frames",)-axis mesh over all devices when more than one REAL
@@ -329,7 +335,9 @@ def _make_rdf_step(
     n_rows_total = int(code_counts_rows.sum())
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    use_pallas = on_tpu and dtype == jnp.float32 and n_bins <= 1024
+    interpret = _FORCE_KERNEL is not None and not on_tpu
+    use_pallas = ((on_tpu or interpret)
+                  and dtype == jnp.float32 and n_bins <= 1024)
     method = ("pallas" if use_pallas
               else "onehot" if on_tpu and dtype == jnp.float32
               else "scatter")
@@ -360,6 +368,10 @@ def _make_rdf_step(
     distinct_rels = (len({(int(a), int(b)) for a, b in relation_matrix})
                      == relation_matrix.shape[0])
     use_rel = use_pallas and distinct_rels and sort_on and kept_est < 0.6
+    if _FORCE_KERNEL == "rel":  # test hook: drive the rel branch on CPU
+        use_rel = use_pallas and distinct_rels
+    elif _FORCE_KERNEL == "type-block":
+        use_rel = False
     ncell = pair_ops.pick_ncell(n_rows_total)
     n_pad_r = -(-n_atoms_rows // pair_ops.LANE) * pair_ops.LANE
     codes0_r = jnp.asarray(np.asarray(codes) - 1, jnp.float32)
@@ -392,7 +404,7 @@ def _make_rdf_step(
                 pr, pm, ty, pc3, pmc, tyc, relations0, L, bin_size,
                 n_bins, r_cut, exclude_self=exclude_self,
                 with_full=with_full, triangle=triangle,
-                counts_r=code_counts_rows,
+                counts_r=code_counts_rows, interpret=interpret,
             )
         elif self_case:
             pm = (pair_ops.device_sort_perm(p, layout_r, L, ncell)
@@ -406,7 +418,7 @@ def _make_rdf_step(
                 pr, layout_r, n_codes_r=layout_r.n_codes, lengths=L,
                 bin_size=bin_size, n_bins=n_bins, r_cut=r_cut,
                 exclude_self=exclude_self, dtype=sdtype, idx_c=pm,
-                method=method, triangle=triangle,
+                method=method, triangle=triangle, interpret=interpret,
             ).astype(sdtype)
             full, rels = pair_ops.project_relations(
                 hist, relation_matrix, with_full)
@@ -416,6 +428,7 @@ def _make_rdf_step(
             hist = pair_ops.pair_hist(
                 pr, pcc, layout_r, layout_c, L, bin_size, n_bins, r_cut,
                 exclude_self, dtype=sdtype, method=method,
+                interpret=interpret,
             ).astype(sdtype)
             full, rels = pair_ops.project_relations(
                 hist, relation_matrix, with_full)
@@ -490,8 +503,9 @@ def _cn_mean(
     # Pallas kernel (exact per-relation cutoffs, triangle for the self
     # case, tile cull) — ~100x the dense XLA compare-sum; strict/CPU
     # keeps the float64 pair_count_within path for oracle parity.
-    use_cn_kernel = (jax.default_backend() not in ("cpu",)
-                     and dtype == jnp.float32)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    interpret = _FORCE_KERNEL is not None and not on_tpu
+    use_cn_kernel = (on_tpu or interpret) and dtype == jnp.float32
     n_pad_r = -(-pos.shape[1] // pair_ops.LANE) * pair_ops.LANE
     codes0_r = jnp.asarray(np.asarray(codes) - 1, jnp.float32)
     if not self_case:
@@ -522,7 +536,7 @@ def _cn_mean(
             counts = pair_count_relations_pallas(
                 pr, pm, ty, pc3, pmc, tyc, relations0, r_cuts, L,
                 exclude_self, triangle=self_case,
-                counts_r=code_counts_rows,
+                counts_r=code_counts_rows, interpret=interpret,
             )
         else:
             pr = pair_ops.gather_padded(p, layout_r)

@@ -67,11 +67,13 @@ def bench_rdf(jnp, rdf_cn, traj_cache):
 def bench_rdf_50k(jnp, rdf_cn, traj_cache):
     """RDF at the north-star 50k-atom scale: bundled box tiled 2x2x1.
 
-    Steady-state ms/frame = (t(T=20) - t(T=4)) / 16: every `_rdf_mean`
-    call re-traces its block program and loads the executable from the
-    persistent cache (~2-3 s) plus one device fetch (~0.05-0.25 s) — a
-    real trajectory pays those once per 128-frame block, not per frame,
-    and the two-length difference cancels them exactly."""
+    Steady-state ms/frame = (t(T=20) - t(T=4)) / 16, best-of-3 per side
+    with a noise guard — see utilities/benchmarking.py for why the
+    two-length delta is the honest per-frame estimator here."""
+    from mdproptools_tpu.utilities.benchmarking import (
+        steady_state_seconds_per_frame,
+    )
+
     pos, codes, lengths, _ = traj_cache
     L = lengths[0]
     reps = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0)]
@@ -90,16 +92,7 @@ def bench_rdf_50k(jnp, rdf_cn, traj_cache):
             dtype=jnp.float32,
         )
 
-    T_SMALL, T_BIG = 4, 20
-    run(T_SMALL)  # warm/compile both block shapes
-    run(T_BIG)
-    t0 = time.time()
-    run(T_SMALL)
-    dt_small = time.time() - t0
-    t0 = time.time()
-    g_full, _ = run(T_BIG)
-    dt_big = time.time() - t0
-    dt = max(dt_big - dt_small, 1e-9) / (T_BIG - T_SMALL)
+    dt, _noisy, (g_full, _) = steady_state_seconds_per_frame(run)
     assert abs(float(g_full[-1]) - 1.0) < 0.05
     return pos50.shape[0], dt * 1000.0  # (atoms, ms/frame)
 

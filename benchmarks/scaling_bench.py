@@ -8,13 +8,9 @@ production RDF path (``rdf_cn._rdf_mean``: device sort + Pallas kernel
 dispatch + per-frame normalization, fast/f32) in ms/frame on the real
 TPU.
 
-Methodology: steady-state per-frame cost as (t(T=20) - t(T=4)) / 16.
-Every ``_rdf_mean`` call rebuilds its jitted block program (a fresh
-closure), paying ~2-3 s of re-trace + persistent-cache executable load
-plus a ~0.05-0.25 s device fetch through the tunnel — costs a real
-trajectory pays once per FRAME_BLOCK=128 frames, not per frame. The
-difference of two trajectory lengths cancels those fixed terms exactly
-(both runs are warmed first so no remote compiles are timed).
+Methodology: steady-state per-frame cost as (t(T=20) - t(T=4)) / 16,
+best-of-3 per side with a noise guard — see
+``mdproptools_tpu.utilities.benchmarking.steady_state_seconds_per_frame``.
 
 Run: python benchmarks/scaling_bench.py   (JAX_PLATFORMS as shipped)
 """
@@ -49,7 +45,9 @@ def main():
     pos1 = traj.cols(["x", "y", "z"])[0]
     L1 = traj.box_lengths[0]
 
-    T_SMALL, T_BIG = 4, 20
+    from mdproptools_tpu.utilities.benchmarking import (
+        steady_state_seconds_per_frame,
+    )
 
     rows = []
     for reps in [(1, 1, 1), (2, 1, 1), (2, 2, 1), (2, 2, 2), (2, 2, 4)]:
@@ -69,22 +67,17 @@ def main():
                 dtype=jnp.float32,
             )
 
-        g_full, _ = run(T_SMALL)  # warm/compile both block shapes
-        run(T_BIG)
-        t0 = time.time()
-        run(T_SMALL)
-        dt_small = time.time() - t0
-        t0 = time.time()
-        g_full, _ = run(T_BIG)
-        dt_big = time.time() - t0
-        dt = max(dt_big - dt_small, 1e-9) / (T_BIG - T_SMALL)
+        dt, noisy, (g_full, _) = steady_state_seconds_per_frame(run)
         assert abs(float(g_full[-1]) - 1.0) < 0.05, "g(r->r_cut) != 1"
-        rows.append({
+        row = {
             "atoms": int(len(codes)),
             "ms_per_frame": round(dt * 1000.0, 1),
             "frames_per_s": round(1.0 / dt, 2),
             "box": [round(float(v), 2) for v in L],
-        })
+        }
+        if noisy:
+            row["noise_limited"] = True  # upper bound, not a delta
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
 
     out = {
@@ -93,15 +86,17 @@ def main():
         "rows": rows,
         "unix_time": int(time.time()),
         "methodology": (
-            "steady-state ms/frame = (t(T=20) - t(T=4)) / 16, cancelling "
-            "per-call re-trace/cache-load (~2-3 s) and the device fetch "
-            "(~0.05-0.25 s through the tunnel) that a real trajectory "
-            "pays once per 128-frame block, not per frame; includes the "
-            "per-frame device sort. Box tiled from the bundled 49.18 A "
-            "cube; r_cut 20 A. Kernel dispatch is the production policy "
-            "(type-block triangle kernel at small N; ORB-sorted "
-            "relation-projected kernel once the tile cull pays, "
-            "kept_est < 0.6)."),
+            "steady-state ms/frame = (t(T=20) - t(T=4)) / 16, best-of-3 "
+            "per side with a noise guard (utilities/benchmarking.py), "
+            "cancelling per-call re-trace/cache-load (~2-3 s) and the "
+            "device fetch (~0.05-0.25 s through the tunnel) that a real "
+            "trajectory pays once per 128-frame block, not per frame; "
+            "includes the per-frame device sort. Box tiled from the "
+            "bundled 49.18 A cube; r_cut 20 A. Kernel dispatch is the "
+            "production policy (type-block triangle kernel at small N; "
+            "ORB-sorted relation-projected kernel with column compaction "
+            "once the cull pays, kept_est < 1.2 — 21k atoms and up "
+            "here)."),
     }
     with open(os.path.join(HERE, "scaling.json"), "w") as fh:
         json.dump(out, fh, indent=1)

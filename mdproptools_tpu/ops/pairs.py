@@ -517,6 +517,19 @@ def device_sort_orb(pos, n_atoms: int, n_padded: int, lengths=None):
     return jnp.where(idx < n_atoms, idx, -1)
 
 
+def orb_sorted_side(pos, n_atoms: int, n_padded: int, lengths, codes0):
+    """ORB-sort one side for the mixed-tile relation kernels: returns
+    (positions (n_padded, 3) gathered in ORB order, perm (pads -1),
+    float32 type codes with -1.0 at pad slots). ``codes0`` is the
+    (n_atoms,) 0-based float32 code array. The single definition keeps
+    the pad conventions (-1 perm, -1.0 type sentinel, clamped gather)
+    identical across the RDF, CN, and sharded-mesh callers."""
+    pm = device_sort_orb(pos, n_atoms, n_padded, lengths)
+    pr = gather_padded_perm(pos, pm)
+    ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
+    return pr, pm, ty
+
+
 def project_relations(hist, relations, with_full: bool):
     """Project a (n_codes_r, n_codes_c, n_bins) ordered-pair histogram
     onto (full, (R, n_bins)) rows — the scatter-path oracle for the

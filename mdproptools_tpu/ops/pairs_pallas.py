@@ -495,6 +495,9 @@ C_GROUP_REL = 64  # independent column dots per roll step (swept 16/32/64
 
 def _rel_kernel(
     mask_ref,  # (n_chunks, n_groups) i32 keep bits (scalar prefetch)
+    row_tiles_ref,  # (n_chunks,) i32 GLOBAL tile index per row chunk
+    #                 (arange unsharded; the shard's slice positions in
+    #                 the all-gathered global order under row sharding)
     rows_ref,  # (1, 5, LANE) f32: x/y/z/idxf/typef
     colpack_ref,  # (n_groups, 5, KC_REL * F) f32, VMEM-resident
     len_ref,  # (1, 3) f32 (SMEM)
@@ -509,6 +512,8 @@ def _rel_kernel(
     exclude_self,
     with_full,
     triangle,
+    compact_cols,
+    c_group,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -559,9 +564,10 @@ def _rel_kernel(
             valid = (rsq < rc2) & (b < n_bins)
             valid &= (idxr >= 0) & (idxc[None, :] >= 0)
             if triangle:
-                # cyclic-half rule: d == 0 (jj == i) is the diagonal
+                # cyclic-half rule: d == 0 (jj == this chunk's GLOBAL
+                # tile index) is the diagonal tile
                 valid &= (iota_lo > jax.lax.broadcasted_iota(
-                    jnp.int32, (LANE, F), 0)) | (jj != i)
+                    jnp.int32, (LANE, F), 0)) | (jj != row_tiles_ref[i])
             if exclude_self:
                 valid &= idxr != idxc[None, :]
 
@@ -592,7 +598,7 @@ def _rel_kernel(
                 arrs, accs = carry2
                 lo_c = arrs[0]
                 new_accs = []
-                for q in range(C_GROUP_REL):
+                for q in range(c_group):
                     oh = (arrs[1][:, q:q + 1] == iota_m).astype(
                         jnp.bfloat16)
                     for extra in arrs[2:]:
@@ -606,7 +612,7 @@ def _rel_kernel(
                         preferred_element_type=jnp.float32,
                     ))  # (m_pad, F)
                 rolled = tuple(
-                    pltpu.roll(a, F - C_GROUP_REL, 1) for a in arrs)
+                    pltpu.roll(a, F - c_group, 1) for a in arrs)
                 return (rolled, tuple(new_accs))
 
             arrs = [lo_t, j1_t]
@@ -614,12 +620,57 @@ def _rel_kernel(
                 arrs.append(j2_t)
             if with_full:
                 arrs.append(jf_t)
+            if compact_cols:
+                # Column compaction: a column (one rhs atom) whose LANE
+                # pairs are all invalid contributes nothing, yet its MXU
+                # dot is the tile's dominant cost. Compact active
+                # columns to the front via a one-hot permutation matmul
+                # (all permuted values < 256, exact in bf16 — enforced
+                # by the wrapper) and walk only ceil(n_act / c_group)
+                # column groups: converts the tile-granularity cull
+                # dilation (r + 2 * rad)^3 / r^3 into the column-
+                # granularity (r + rad)^3 / r^3. Empty permutation
+                # columns yield 0, so the j-arrays (where 0 is a real
+                # row) are re-masked to the trash row beyond n_act;
+                # garbage lo values only move counts within trash.
+                act = jnp.max(valid.astype(jnp.int32), axis=0,
+                              keepdims=True)  # (1, F)
+                ps = act  # inclusive lane prefix sum by log2 F rolls
+                lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+                s = 1
+                while s < F:
+                    ps = ps + jnp.where(lane1 >= s,
+                                        pltpu.roll(ps, s, 1), 0)
+                    s *= 2
+                n_act = jnp.sum(act)  # scalar trip-count source
+                dst_t = (ps - 1).reshape(1, F).T  # (F, 1)
+                act_t = act.reshape(1, F).T
+                iota_ff = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
+                perm = ((iota_ff == dst_t) & (act_t > 0)).astype(
+                    jnp.bfloat16)
+
+                def _permute(a):
+                    return jax.lax.dot_general(
+                        a.astype(jnp.bfloat16), perm,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.int32)
+
+                lane_mask = iota_lo < n_act
+                arrs = [_permute(arrs[0])] + [
+                    jnp.where(lane_mask, _permute(a), trash)
+                    for a in arrs[1:]
+                ]
+                n_grp = (n_act + jnp.int32(c_group - 1)) // jnp.int32(
+                    c_group)
+            else:
+                n_grp = F // c_group
             accs0 = tuple(
                 jnp.zeros((m_pad, F), jnp.float32)
-                for _ in range(C_GROUP_REL)
+                for _ in range(c_group)
             )
             (_, accs) = jax.lax.fori_loop(
-                0, F // C_GROUP_REL, group_body, (tuple(arrs), accs0)
+                0, n_grp, group_body, (tuple(arrs), accs0)
             )
             total = accs[0]
             for a in accs[1:]:
@@ -650,6 +701,8 @@ def pair_hist_relations_pallas(
     triangle: bool = False,
     interpret: bool = False,
     counts_r=None,  # (n_types_r,) true atom counts (self-pair re-add)
+    compact_cols: bool = True,
+    row_tiles=None,
 ):
     """Relation-projected ordered-pair histogram on mixed-type tiles.
 
@@ -659,6 +712,14 @@ def pair_hist_relations_pallas(
     per unordered pair; the full row is doubled and r = 0 self pairs are
     re-added analytically afterwards (needs ``counts_r`` when
     exclude_self=False).
+
+    ``row_tiles``: (n_chunks,) GLOBAL column-tile index of each row
+    chunk; defaults to arange (the unsharded self case). Under row
+    sharding pass each shard's slice positions in the all-gathered
+    column order — the cyclic-half triangle rule then counts every
+    unordered tile pair exactly once across shards (sum / psum the
+    per-shard results). Sharded triangle requires exclude_self=True
+    (the r = 0 self-pair re-add must happen exactly once globally).
     """
     relations = [(int(a), int(b)) for a, b in np.asarray(relations)]
     if len(set(relations)) != len(relations):
@@ -672,8 +733,19 @@ def pair_hist_relations_pallas(
     n_rel = len(relations)
     m = (1 + n_rel) * hb + 1
     m_pad = -(-m // 8) * 8
-    if triangle and (n_pad_r != n_pad_c):
-        raise ValueError("triangle mode requires rows == columns")
+    sharded_rows = row_tiles is not None
+    if triangle:
+        if not sharded_rows and n_pad_r != n_pad_c:
+            raise ValueError(
+                "triangle mode requires rows == columns (full self case) "
+                "or explicit row_tiles for a row shard")
+        if sharded_rows and not exclude_self:
+            raise ValueError(
+                "sharded triangle requires exclude_self=True (the r=0 "
+                "self-pair re-add must happen exactly once globally)")
+    if row_tiles is None:
+        row_tiles = jnp.arange(n_chunks, dtype=jnp.int32)
+    row_tiles = jnp.asarray(row_tiles, jnp.int32)
 
     f32 = jnp.float32
     pos_r = pos_r.astype(f32)
@@ -698,7 +770,8 @@ def pair_hist_relations_pallas(
     # global KC word packing must match the triangle row/tile indexing
     mask_words = _cull_mask_words(
         pos_r.reshape(n_chunks, LANE, 3), idx_r.reshape(n_chunks, LANE),
-        pos_c3, idx_c3, lengths, float(r_cut), triangle, kc=KC_REL)
+        pos_c3, idx_c3, lengths, float(r_cut), triangle, kc=KC_REL,
+        row_tiles=row_tiles)
 
     rowpack = jnp.stack([
         pos_r[:, 0].reshape(n_chunks, LANE),
@@ -715,6 +788,15 @@ def pair_hist_relations_pallas(
         tyc.reshape(n_groups, KC_REL * F),
     ], axis=1)  # (n_groups, 5, KC_REL*F)
 
+    # compaction permutes the j/lo values through a bf16 matmul; bf16 is
+    # integer-exact below 257, so auto-disable for huge relation sets
+    compact_cols = bool(compact_cols) and (1 + n_rel) * hb < 256
+    # independent-accumulator group size: C_GROUP_REL was swept at
+    # m_pad = 24 (786 KiB of accumulators); scale it down as m_pad grows
+    # with the relation count / bin count so scoped VMEM stays bounded
+    c_group = C_GROUP_REL
+    while c_group > 8 and c_group * m_pad > 64 * 24:
+        c_group //= 2
     kernel = functools.partial(
         _rel_kernel,
         relations=tuple(relations),
@@ -726,9 +808,11 @@ def pair_hist_relations_pallas(
         exclude_self=bool(exclude_self),
         with_full=bool(with_full),
         triangle=bool(triangle),
+        compact_cols=compact_cols,
+        c_group=int(c_group),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_chunks, n_groups),
         in_specs=[
             pl.BlockSpec((1, 5, LANE), lambda i, j, *s: (i, 0, 0),
@@ -746,7 +830,7 @@ def pair_hist_relations_pallas(
         out_shape=jax.ShapeDtypeStruct((m_pad, F), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(mask_words, rowpack, colpack, lengths.reshape(1, 3))
+    )(mask_words, row_tiles, rowpack, colpack, lengths.reshape(1, 3))
 
     def block(blk):
         return out[blk * hb:(blk + 1) * hb].reshape(hb * F)[:n_bins]

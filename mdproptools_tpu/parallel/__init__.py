@@ -8,8 +8,9 @@ from mdproptools_tpu.parallel.mesh import (
     sharded_charge_flux,
     sharded_msd_per_type,
     sharded_rdf_hist,
+    sharded_rdf_relations,
 )
 
-__all__ = ["make_mesh", "sharded_rdf_hist", "sharded_msd_per_type",
-           "sharded_charge_flux", "sweep_rdf", "sweep_msd",
-           "sweep_conductivity"]
+__all__ = ["make_mesh", "sharded_rdf_hist", "sharded_rdf_relations",
+           "sharded_msd_per_type", "sharded_charge_flux", "sweep_rdf",
+           "sweep_msd", "sweep_conductivity"]

@@ -168,6 +168,93 @@ def sharded_rdf_hist(
     return run(pos4, jnp.asarray(lengths, dtype), idx_r, chunk_codes)
 
 
+def sharded_rdf_relations(
+    pos,  # (T, N, 3) raw per-frame positions (unsorted, N real atoms)
+    codes0,  # (N,) 0-based type codes (frame-invariant)
+    relations0,  # (R, 2) 0-based relations (distinct pairs)
+    lengths,  # (T, 3)
+    bin_size: float,
+    n_bins: int,
+    r_cut: float,
+    mesh: Mesh,
+    with_full: bool = True,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Frame- and row-sharded LARGE-N fast path: the global balanced-ORB
+    sort + relation-projected Pallas kernel (tile cull + column
+    compaction), summed over all frames. Returns (full (n_bins,) or
+    None, rels (R, n_bins)), already reduced over both mesh axes and
+    replicated. Atom-atom self case, exclude_self=True (the sharded
+    triangle rule requires it).
+
+    Sharding: frames shard over ``"frames"``; within a frame every
+    device runs the SAME deterministic ORB sort on the replicated frame
+    (cheap relative to the kernel) and computes the row-chunk slice the
+    ``"atoms"`` axis assigns it, passing the slice's global tile indices
+    as ``row_tiles`` so the cyclic-half triangle rule counts every
+    unordered tile pair exactly once across shards; partial histograms
+    psum over ICI.
+    """
+    from mdproptools_tpu.ops.pairs_pallas import pair_hist_relations_pallas
+
+    T, n_atoms, _ = pos.shape
+    n_rel = int(np.asarray(relations0).shape[0])
+    n_frames_axis, n_atoms_axis = mesh.devices.shape
+    if T % n_frames_axis:
+        raise ValueError(
+            f"frame count {T} must be divisible by the frames mesh axis "
+            f"size {n_frames_axis}; pad or trim the frame block")
+    n_chunks = -(-n_atoms // pair_ops.LANE)
+    n_chunks_p = n_chunks + ((-n_chunks) % n_atoms_axis)
+    n_pad = n_chunks_p * pair_ops.LANE
+    chunks_per_shard = n_chunks_p // n_atoms_axis
+    codes0_f = jnp.asarray(np.asarray(codes0), jnp.float32)
+    relations0 = np.asarray(relations0, np.int64)
+
+    in_specs = (P("frames", None, None), P("frames", None))
+    out_specs = (P(), P())
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+             check_vma=False)
+    def run(pos_local, len_local):
+        a_idx = jax.lax.axis_index("atoms")
+        start = a_idx * chunks_per_shard * pair_ops.LANE
+        row_tiles = (a_idx * chunks_per_shard
+                     + jnp.arange(chunks_per_shard, dtype=jnp.int32))
+
+        def frame_step(acc, xs):
+            p, L = xs
+            pr, pm, ty = pair_ops.orb_sorted_side(
+                p.astype(jnp.float32), n_atoms, n_pad, L, codes0_f)
+            rows = jax.lax.dynamic_slice_in_dim(
+                pr, start, chunks_per_shard * pair_ops.LANE, axis=0)
+            idxr = jax.lax.dynamic_slice_in_dim(
+                pm, start, chunks_per_shard * pair_ops.LANE, axis=0)
+            tyr = jax.lax.dynamic_slice_in_dim(
+                ty, start, chunks_per_shard * pair_ops.LANE, axis=0)
+            full, rels = pair_hist_relations_pallas(
+                rows, idxr, tyr, pr, pm, ty, relations0, L, bin_size,
+                n_bins, r_cut, exclude_self=True, with_full=with_full,
+                triangle=True, row_tiles=row_tiles, interpret=interpret)
+            acc_full, acc_rels = acc
+            if with_full:
+                acc_full = acc_full + full
+            return (acc_full, acc_rels + rels), None
+
+        acc0 = (jnp.zeros(n_bins, jnp.float32),
+                jnp.zeros((n_rel, n_bins), jnp.float32))
+        (acc_full, acc_rels), _ = jax.lax.scan(
+            frame_step, acc0, (pos_local, len_local))
+        for ax in ("atoms", "frames"):
+            acc_full = jax.lax.psum(acc_full, ax)
+            acc_rels = jax.lax.psum(acc_rels, ax)
+        return acc_full, acc_rels
+
+    full, rels = run(pos.astype(dtype), jnp.asarray(lengths, dtype))
+    return (full if with_full else None), rels
+
+
 def sharded_msd_per_type(coords, ref_coords, type_index, n_types, mesh):
     """Per-type MSD vs a replicated reference frame, frames sharded.
     coords: (T, M, 3); returns (T, n_types) (sharded over frames)."""

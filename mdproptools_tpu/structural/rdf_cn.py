@@ -318,7 +318,7 @@ def _make_rdf_step(
     (``rdf_cn.py:288-329``).
 
     Fast-path structure for the self (atom-atom / COM-COM) case on TPU:
-    per frame, an on-device Hilbert sort makes 128-atom tiles spatially
+    per frame, an on-device spatial sort makes 128-atom tiles spatially
     compact (so the Pallas kernel's tile cull skips far tile pairs), and
     triangle mode computes each off-diagonal tile pair once, mirroring by
     hist[ta, tb] == hist[tb, ta]. Both are exact-count-preserving — the
@@ -353,21 +353,27 @@ def _make_rdf_step(
     rad = 0.88 * (pair_ops.LANE / rho) ** (1.0 / 3.0)
     kept_est = 4.0 / 3.0 * np.pi * (r_cut + 2.0 * rad) ** 3 / v_min
     if spatial_sort == "auto":
+        # per-type-block sort for the type-block kernel only where its
+        # (weak) cull can pay; the rel path sorts unconditionally (its
+        # engage threshold below is the real decision)
         sort_on = use_pallas and kept_est < 0.85
+        rel_sort_ok = use_pallas
     else:
-        sort_on = bool(spatial_sort)
-    # the relation-projected mixed-tile kernel costs ~1.5x per pair but
-    # its compact ORB tiles let the cull skip (1 - kept) of the tile
-    # pairs, and culled subtiles are free since the popcount-trip
-    # subtile walk (pairs_pallas._popcount32) — the dense type-block
-    # kernel barely culls (minority-species tiles are box-sized).
-    # Measured on v5e at 400 bins + 4 partials, rel-ORB vs type-block:
-    # 42k atoms 534 vs 560 ms/frame (kept_est 0.56, measured kept 0.42);
-    # 84k 1246 vs 1679 (kept_est 0.33, measured 0.26). Crossover sits
-    # near kept_est ~0.6; the advantage grows with N.
+        sort_on = rel_sort_ok = bool(spatial_sort)
+    # the relation-projected mixed-tile kernel costs ~1.5x per pair for
+    # the fused multi-hot insert, but its compact ORB tiles feed three
+    # exact work-skippers the type-block kernel can't match (minority-
+    # species type blocks are box-sized): the tile cull skips (1 - kept)
+    # of tile pairs, culled subtiles are free (popcount-trip walk), and
+    # in-kernel column compaction skips the all-invalid columns inside
+    # kept tiles. Measured on v5e at 400 bins + 4 partials, rel vs
+    # type-block ms/frame: 10.5k atoms 90 vs 72 (kept_est 2.25); 21k
+    # 167 vs 186 (kept_est 1.12); 42k 338 vs 560 (0.56); 84k 692 vs
+    # 1679 (0.33). Crossover between 10.5k and 21k -> kept_est 1.2.
     distinct_rels = (len({(int(a), int(b)) for a, b in relation_matrix})
                      == relation_matrix.shape[0])
-    use_rel = use_pallas and distinct_rels and sort_on and kept_est < 0.6
+    use_rel = (use_pallas and distinct_rels and rel_sort_ok
+               and kept_est < 1.2)
     if _FORCE_KERNEL == "rel":  # test hook: drive the rel branch on CPU
         use_rel = use_pallas and distinct_rels
     elif _FORCE_KERNEL == "type-block":
@@ -380,23 +386,18 @@ def _make_rdf_step(
         codes0_c = jnp.asarray(np.asarray(codes_cols) - 1, jnp.float32)
     relations0 = np.asarray(relation_matrix, np.int64) - 1
 
-    def _sorted_side(p, L, n_atoms_side, n_pad, codes0):
-        pm = pair_ops.device_sort_orb(p, n_atoms_side, n_pad, L)
-        pr = pair_ops.gather_padded_perm(p, pm)
-        ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
-        return pr, pm, ty
-
     def step(p, pc, L):
         sdtype = p.dtype
         shell_d = jnp.asarray(shell, sdtype)
         if use_rel:
-            pr, pm, ty = _sorted_side(p.astype(jnp.float32), L,
-                                      p.shape[0], n_pad_r, codes0_r)
+            pr, pm, ty = pair_ops.orb_sorted_side(
+                p.astype(jnp.float32), p.shape[0], n_pad_r, L, codes0_r)
             if self_case:
                 pc3, pmc, tyc = pr, pm, ty
             else:
-                pc3, pmc, tyc = _sorted_side(pc.astype(jnp.float32), L,
-                                             pc.shape[0], n_pad_c, codes0_c)
+                pc3, pmc, tyc = pair_ops.orb_sorted_side(
+                    pc.astype(jnp.float32), pc.shape[0], n_pad_c, L,
+                    codes0_c)
             from mdproptools_tpu.ops.pairs_pallas import (
                 pair_hist_relations_pallas,
             )
@@ -513,26 +514,20 @@ def _cn_mean(
         codes0_c = jnp.asarray(np.asarray(codes_cols) - 1, jnp.float32)
     relations0 = np.asarray(relation_matrix, np.int64) - 1
 
-    def _sorted_side(p, L, n_atoms_side, n_pad, codes0):
-        pm = pair_ops.device_sort_orb(p, n_atoms_side, n_pad, L)
-        pr = pair_ops.gather_padded_perm(p, pm)
-        ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
-        return pr, pm, ty
-
     def step(p, pc, L):
         sdtype = p.dtype
         if use_cn_kernel:
             from mdproptools_tpu.ops.pairs_pallas import (
                 pair_count_relations_pallas,
             )
-            pr, pm, ty = _sorted_side(p.astype(jnp.float32), L,
-                                      p.shape[0], n_pad_r, codes0_r)
+            pr, pm, ty = pair_ops.orb_sorted_side(
+                p.astype(jnp.float32), p.shape[0], n_pad_r, L, codes0_r)
             if self_case:
                 pc3, pmc, tyc = pr, pm, ty
             else:
-                pc3, pmc, tyc = _sorted_side(pc.astype(jnp.float32), L,
-                                             pc.shape[0], n_pad_c,
-                                             codes0_c)
+                pc3, pmc, tyc = pair_ops.orb_sorted_side(
+                    pc.astype(jnp.float32), pc.shape[0], n_pad_c, L,
+                    codes0_c)
             counts = pair_count_relations_pallas(
                 pr, pm, ty, pc3, pmc, tyc, relations0, r_cuts, L,
                 exclude_self, triangle=self_case,

@@ -231,6 +231,46 @@ def test_sharded_triangle_two_shards_sum_to_dense():
         np.testing.assert_array_equal(total, want)
 
 
+def test_rel_sharded_triangle_two_shards_sum_to_dense():
+    """Row-sharded relation kernel (cyclic-half rule with explicit
+    global row_tiles): per-shard (full, rels) summed must equal the
+    dense scatter projection exactly."""
+    from mdproptools_tpu.ops.pairs_pallas import pair_hist_relations_pallas
+
+    rng = np.random.default_rng(37)
+    for n, box in ((700, 14.0), (520, 13.0)):  # 6 and 5 padded tiles
+        pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+        codes = rng.integers(1, 4, n)
+        lay = pair_ops.build_type_layout(codes, 3)
+        pp = pair_ops.gather_padded(jnp.asarray(pos), lay)
+        L = jnp.full(3, box, jnp.float32)
+        relations = np.array([[1, 2], [3, 3]])
+        n_pad = -(-n // 128) * 128
+        pm = pair_ops.device_sort_orb(jnp.asarray(pos), n, n_pad, L)
+        pr = pair_ops.gather_padded_perm(jnp.asarray(pos), pm)
+        codes0 = jnp.asarray(codes - 1, jnp.float32)
+        ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
+        nc = n_pad // 128
+        k = nc // 2
+        tot_full = 0
+        tot_rels = 0
+        for sl in (slice(0, k * 128), slice(k * 128, nc * 128)):
+            rt = jnp.arange(nc, dtype=jnp.int32)[sl.start // 128:
+                                                 (sl.stop - 1) // 128 + 1]
+            f, r = pair_hist_relations_pallas(
+                pr[sl], pm[sl], ty[sl], pr, pm, ty, relations - 1, L,
+                0.1, 128, 6.0, True, True, triangle=True, interpret=True,
+                row_tiles=rt)
+            tot_full = tot_full + np.asarray(f)
+            tot_rels = tot_rels + np.asarray(r)
+        hist = pair_ops.pair_hist(pp, pp, lay, lay, L, 0.1, 128, 6.0,
+                                  True, dtype=jnp.float32,
+                                  method="scatter")
+        wfull, wrels = pair_ops.project_relations(hist, relations, True)
+        np.testing.assert_array_equal(tot_full, np.asarray(wfull))
+        np.testing.assert_array_equal(tot_rels, np.asarray(wrels))
+
+
 def test_orb_sort_valid_and_kernel_parity():
     """Balanced-ORB sort: (a) a valid permutation with pads last, (b)
     tiles no fatter than Hilbert's in the median, (c) the relation

@@ -128,6 +128,42 @@ def test_sharded_triangle_matches_single():
     np.testing.assert_array_equal(got, want)
 
 
+def test_sharded_rdf_relations_matches_single():
+    """Frame+row-sharded large-N fast path (ORB sort + relation kernel,
+    interpret mode) on the virtual mesh must equal the single-device
+    scatter projection exactly."""
+    import numpy as np
+
+    from mdproptools_tpu.ops import pairs as pair_ops
+    from mdproptools_tpu.parallel import make_mesh, sharded_rdf_relations
+
+    rng = np.random.default_rng(33)
+    T, n, box = 4, 700, 14.0
+    pos = rng.uniform(0, box, (T, n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    lengths = np.full((T, 3), box, np.float32)
+    relations = np.array([[1, 2], [3, 3]])
+    mesh = make_mesh(n_frames_axis=4, n_atoms_axis=2)
+    full, rels = sharded_rdf_relations(
+        jnp.asarray(pos), codes - 1, relations - 1, lengths,
+        bin_size=0.1, n_bins=128, r_cut=6.0, mesh=mesh, with_full=True,
+        dtype=jnp.float32, interpret=True,
+    )
+    pp = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    want_full = 0
+    want_rels = 0
+    for t in range(T):
+        hist = pair_ops.pair_hist(
+            pp[t], pp[t], lay, lay, jnp.asarray(lengths[t]), 0.1, 128,
+            6.0, True, dtype=jnp.float32, method="scatter")
+        wf, wr = pair_ops.project_relations(hist, relations, True)
+        want_full = want_full + np.asarray(wf)
+        want_rels = want_rels + np.asarray(wr)
+    np.testing.assert_array_equal(np.asarray(full), want_full)
+    np.testing.assert_array_equal(np.asarray(rels), want_rels)
+
+
 def test_entry_point_frame_mesh(dump_pattern, monkeypatch):
     """calc_atomic_rdf with a forced ("frames",) device mesh (the
     transparent multi-chip path) must match the single-device result to

@@ -181,6 +181,35 @@ _FORCE_FRAMES_MESH = None  # test hook: force a mesh for _scan_frame_mean
 # sides, projection, normalization wiring) are testable without a TPU.
 _FORCE_KERNEL = None
 
+# Step/runner program cache: every `_rdf_mean`/`_cn_mean` call used to
+# rebuild its step closure and block runner, so a SECOND call on the
+# same system re-traced the block program and re-loaded the executable
+# from the persistent compilation cache (~2-3 s through the axon
+# tunnel) even though nothing changed. Entries key on every static that
+# shapes the traced program (codes/counts/relations bytes, shapes,
+# binning, policy inputs, backend, test hooks); positions/lengths stay
+# traced arguments, so a cache hit can never change results.
+_STEP_CACHE: "dict" = {}
+_STEP_CACHE_MAX = 8
+
+
+def _step_cache_get(key, build):
+    entry = _STEP_CACHE.pop(key, None)  # pop+reinsert = LRU order
+    if entry is None:
+        entry = build()
+        entry = (*entry, {})  # trailing dict: per-(shape, mesh) runners
+        while len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
+    _STEP_CACHE[key] = entry
+    return entry
+
+
+def _mesh_key(mesh):
+    if mesh is None:
+        return None
+    return (mesh.axis_names, mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat))
+
 
 def _auto_frames_mesh():
     """A ("frames",)-axis mesh over all devices when more than one REAL
@@ -288,15 +317,24 @@ def _run_stream(run_block, out_shape, blocks, dtype, n_pad_to=1):
     return total / T
 
 
-def _scan_frame_mean(step_fn, out_shape, blocks, dtype):
+def _scan_frame_mean(step_fn, out_shape, blocks, dtype, runners=None):
     """Mean over frames of ``step_fn(pos_t, pos_cols_t, L_t)`` computed as
     an on-device running sum (``lax.scan`` over frame blocks from the
     ``blocks`` iterator of (pos_b, pos_cols_b|None, lengths_b) host
     arrays). Host/device memory stays O(block), independent of
     trajectory length. jit caches one program per distinct block size,
-    of which there are at most two (FRAME_BLOCK and the remainder)."""
+    of which there are at most two (FRAME_BLOCK and the remainder).
+
+    ``runners``: optional dict tied to the step's _STEP_CACHE entry;
+    block runners are memoized there so repeat entry-point calls on the
+    same system reuse the jitted program instead of re-tracing."""
     mesh = _auto_frames_mesh()
-    run_block = _make_block_runner(step_fn, out_shape, dtype, mesh=mesh)
+    rkey = (tuple(out_shape), jnp.dtype(dtype).name, _mesh_key(mesh))
+    run_block = None if runners is None else runners.get(rkey)
+    if run_block is None:
+        run_block = _make_block_runner(step_fn, out_shape, dtype, mesh=mesh)
+        if runners is not None:
+            runners[rkey] = run_block
     return _run_stream(run_block, out_shape, blocks, dtype,
                        n_pad_to=1 if mesh is None else mesh.size)
 
@@ -466,17 +504,32 @@ def _rdf_mean(
     None, ``pos``/``pos_cols``/``lengths`` are full arrays. See
     ``_make_rdf_step`` for the per-frame math and fast-path structure.
     """
-    step, nrows = _make_rdf_step(
+    key = (
+        "rdf", np.asarray(codes).tobytes(), int(n_codes),
+        int(pos.shape[1]),
+        float(np.prod(np.asarray(lengths), axis=1).min()),
+        float(bin_size), int(n_bins), float(r_cut),
+        np.asarray(relation_matrix).tobytes(),
+        np.asarray(code_counts_rows).tobytes(),
+        np.asarray(code_counts_cols).tobytes(),
+        bool(exclude_self), bool(with_full), jnp.dtype(dtype).name,
+        None if pos_cols is None else int(pos_cols.shape[1]),
+        None if codes_cols is None else np.asarray(codes_cols).tobytes(),
+        n_codes_cols, str(spatial_sort), _FORCE_KERNEL,
+        jax.default_backend(),
+    )
+    step, nrows, runners = _step_cache_get(key, lambda: _make_rdf_step(
         codes, n_codes, pos.shape[1], lengths, bin_size, n_bins, r_cut,
         relation_matrix, code_counts_rows, code_counts_cols, exclude_self,
         with_full, dtype,
         n_atoms_cols=None if pos_cols is None else pos_cols.shape[1],
         codes_cols=codes_cols, n_codes_cols=n_codes_cols,
         spatial_sort=spatial_sort,
-    )
+    ))
     if blocks is None:
         blocks = _array_blocks(pos, lengths, pos_cols)
-    out = _scan_frame_mean(step, (nrows, n_bins), blocks, dtype)
+    out = _scan_frame_mean(step, (nrows, n_bins), blocks, dtype,
+                           runners=runners)
     if with_full:
         return out[0], out[1:]
     return None, out
@@ -489,63 +542,82 @@ def _cn_mean(
 ):
     """Frame-averaged coordination numbers (R,), normalized per frame by
     the reference-type count (``rdf_cn.py:332-338``)."""
-    layout_r = pair_ops.build_type_layout(codes, n_codes)
-    layout_c = (
-        layout_r
-        if pos_cols is None
-        else pair_ops.build_type_layout(codes_cols, n_codes_cols)
-    )
-    n_ref = np.array(
-        [code_counts_rows[int(a) - 1] for a in relation_matrix[:, 0]],
-        np.float64,
-    )
-    self_case = pos_cols is None
-    # TPU fast path: ORB-sorted mixed tiles + the relation-count
-    # Pallas kernel (exact per-relation cutoffs, triangle for the self
-    # case, tile cull) — ~100x the dense XLA compare-sum; strict/CPU
-    # keeps the float64 pair_count_within path for oracle parity.
-    on_tpu = jax.default_backend() not in ("cpu",)
-    interpret = _FORCE_KERNEL is not None and not on_tpu
-    use_cn_kernel = (on_tpu or interpret) and dtype == jnp.float32
-    n_pad_r = -(-pos.shape[1] // pair_ops.LANE) * pair_ops.LANE
-    codes0_r = jnp.asarray(np.asarray(codes) - 1, jnp.float32)
-    if not self_case:
-        n_pad_c = -(-pos_cols.shape[1] // pair_ops.LANE) * pair_ops.LANE
-        codes0_c = jnp.asarray(np.asarray(codes_cols) - 1, jnp.float32)
-    relations0 = np.asarray(relation_matrix, np.int64) - 1
+    def build():
+        layout_r = pair_ops.build_type_layout(codes, n_codes)
+        layout_c = (
+            layout_r
+            if pos_cols is None
+            else pair_ops.build_type_layout(codes_cols, n_codes_cols)
+        )
+        n_ref = np.array(
+            [code_counts_rows[int(a) - 1] for a in relation_matrix[:, 0]],
+            np.float64,
+        )
+        self_case = pos_cols is None
+        # TPU fast path: ORB-sorted mixed tiles + the relation-count
+        # Pallas kernel (exact per-relation cutoffs, triangle for the
+        # self case, tile cull) — ~100x the dense XLA compare-sum;
+        # strict/CPU keeps the float64 pair_count_within oracle path.
+        on_tpu = jax.default_backend() not in ("cpu",)
+        interpret = _FORCE_KERNEL is not None and not on_tpu
+        use_cn_kernel = (on_tpu or interpret) and dtype == jnp.float32
+        n_pad_r = -(-pos.shape[1] // pair_ops.LANE) * pair_ops.LANE
+        codes0_r = jnp.asarray(np.asarray(codes) - 1, jnp.float32)
+        if not self_case:
+            n_pad_c = (-(-pos_cols.shape[1] // pair_ops.LANE)
+                       * pair_ops.LANE)
+            codes0_c = jnp.asarray(
+                np.asarray(codes_cols) - 1, jnp.float32)
+        relations0 = np.asarray(relation_matrix, np.int64) - 1
 
-    def step(p, pc, L):
-        sdtype = p.dtype
-        if use_cn_kernel:
-            from mdproptools_tpu.ops.pairs_pallas import (
-                pair_count_relations_pallas,
-            )
-            pr, pm, ty = pair_ops.orb_sorted_side(
-                p.astype(jnp.float32), p.shape[0], n_pad_r, L, codes0_r)
-            if self_case:
-                pc3, pmc, tyc = pr, pm, ty
+        def step(p, pc, L):
+            sdtype = p.dtype
+            if use_cn_kernel:
+                from mdproptools_tpu.ops.pairs_pallas import (
+                    pair_count_relations_pallas,
+                )
+                pr, pm, ty = pair_ops.orb_sorted_side(
+                    p.astype(jnp.float32), p.shape[0], n_pad_r, L,
+                    codes0_r)
+                if self_case:
+                    pc3, pmc, tyc = pr, pm, ty
+                else:
+                    pc3, pmc, tyc = pair_ops.orb_sorted_side(
+                        pc.astype(jnp.float32), pc.shape[0], n_pad_c, L,
+                        codes0_c)
+                counts = pair_count_relations_pallas(
+                    pr, pm, ty, pc3, pmc, tyc, relations0, r_cuts, L,
+                    exclude_self, triangle=self_case,
+                    counts_r=code_counts_rows, interpret=interpret,
+                )
             else:
-                pc3, pmc, tyc = pair_ops.orb_sorted_side(
-                    pc.astype(jnp.float32), pc.shape[0], n_pad_c, L,
-                    codes0_c)
-            counts = pair_count_relations_pallas(
-                pr, pm, ty, pc3, pmc, tyc, relations0, r_cuts, L,
-                exclude_self, triangle=self_case,
-                counts_r=code_counts_rows, interpret=interpret,
-            )
-        else:
-            pr = pair_ops.gather_padded(p, layout_r)
-            pcc = (pr if pos_cols is None
-                   else pair_ops.gather_padded(pc, layout_c))
-            counts = pair_ops.pair_count_within(
-                pr, pcc, layout_r, layout_c, L, relation_matrix, r_cuts,
-                exclude_self, dtype=sdtype,
-            )
-        return counts.astype(sdtype) / jnp.asarray(n_ref, sdtype)
+                pr = pair_ops.gather_padded(p, layout_r)
+                pcc = (pr if pos_cols is None
+                       else pair_ops.gather_padded(pc, layout_c))
+                counts = pair_ops.pair_count_within(
+                    pr, pcc, layout_r, layout_c, L, relation_matrix,
+                    r_cuts, exclude_self, dtype=sdtype,
+                )
+            return counts.astype(sdtype) / jnp.asarray(n_ref, sdtype)
 
+        return (step,)
+
+    key = (
+        "cn", np.asarray(codes).tobytes(), int(n_codes),
+        int(pos.shape[1]),
+        np.asarray(relation_matrix).tobytes(),
+        np.asarray(r_cuts, np.float64).tobytes(),
+        np.asarray(code_counts_rows).tobytes(),
+        bool(exclude_self), jnp.dtype(dtype).name,
+        None if pos_cols is None else int(pos_cols.shape[1]),
+        None if codes_cols is None else np.asarray(codes_cols).tobytes(),
+        n_codes_cols, _FORCE_KERNEL, jax.default_backend(),
+    )
+    step, runners = _step_cache_get(key, build)
     if blocks is None:
         blocks = _array_blocks(pos, lengths, pos_cols)
-    return _scan_frame_mean(step, (relation_matrix.shape[0],), blocks, dtype)
+    return _scan_frame_mean(step, (relation_matrix.shape[0],), blocks,
+                            dtype, runners=runners)
 
 
 def _mol_coms(traj: Trajectory, system: System, mass, dtype):

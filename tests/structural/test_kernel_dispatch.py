@@ -69,6 +69,29 @@ def test_forced_rel_cross_layout_matches_scatter(system, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_program_cache_reuses_block_runner(system):
+    """A second entry-point call on the same system must reuse the
+    cached block program (no re-trace) yet still see the new frame data
+    (positions are traced arguments, never baked constants)."""
+    pos, codes, lengths, counts = system
+    rng = np.random.default_rng(47)
+    pos2 = rng.uniform(0, 14.0, pos.shape)
+
+    rdf_cn._STEP_CACHE.clear()  # earlier tests may have warmed it
+    rdf_cn._trace_log.clear()
+    full_a, _ = _run(pos, codes, lengths, counts)
+    n_traces = len(rdf_cn._trace_log)
+    assert n_traces >= 1
+    full_b, _ = _run(pos2, codes, lengths, counts)
+    assert len(rdf_cn._trace_log) == n_traces, "second call re-traced"
+    assert not np.array_equal(np.asarray(full_a), np.asarray(full_b)), (
+        "cached program returned stale data"
+    )
+    # same data through the cached program reproduces exactly
+    full_c, _ = _run(pos, codes, lengths, counts)
+    np.testing.assert_array_equal(np.asarray(full_c), np.asarray(full_a))
+
+
 def test_forced_cn_kernel_matches_dense(system, monkeypatch):
     pos, codes, lengths, counts = system
     r_cuts = np.array([3.0, 4.5])

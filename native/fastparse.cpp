@@ -67,6 +67,17 @@ inline double parse_token(const char*& p, const char* end) {
     return neg ? -value : value;
 }
 
+inline bool is_ws(char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+}
+
+// Advance past one token without converting it (skipped columns cost a
+// byte scan instead of digit accumulation / strtod).
+inline void skip_token(const char*& p, const char* end) {
+    while (p < end && is_ws(*p)) ++p;
+    while (p < end && !is_ws(*p)) ++p;
+}
+
 }  // namespace
 
 extern "C" {
@@ -88,6 +99,35 @@ int64_t mdpt_parse_table(const char* text, int64_t len, int64_t ncols,
         for (int64_t c = 0; c < ncols; ++c) {
             if (p >= end) return -1;
             out[row * ncols + c] = parse_token(p, end);
+        }
+        ++row;
+    }
+    return row;
+}
+
+// Column-masked variant: rows still have `ncols` tokens, but only the
+// columns with keep_mask[c] != 0 are converted (n_keep of them, in file
+// order) into out (row-major, n_keep doubles per row); the rest are
+// byte-scanned past. A trajectory reader that needs 5 of 19 dump
+// columns skips ~3/4 of the numeric conversion work.
+int64_t mdpt_parse_table_cols(const char* text, int64_t len, int64_t ncols,
+                              const uint8_t* keep_mask, int64_t n_keep,
+                              double* out, int64_t max_rows) {
+    const char* p = text;
+    const char* end = text + len;
+    int64_t row = 0;
+    while (row < max_rows) {
+        while (p < end && is_ws(*p)) ++p;
+        if (p >= end) break;
+        double* orow = out + row * n_keep;
+        int64_t k = 0;
+        for (int64_t c = 0; c < ncols; ++c) {
+            if (p >= end) return -1;
+            if (keep_mask[c]) {
+                orow[k++] = parse_token(p, end);
+            } else {
+                skip_token(p, end);
+            }
         }
         ++row;
     }

@@ -61,6 +61,28 @@ def test_read_trajectory_stack(mg_tfsi_dme_dir):
     assert np.array_equal(traj.col("type")[0], traj.col("type")[2])
 
 
+def test_column_masked_parse_bit_exact(mg_tfsi_dme_dir):
+    """The column-masked native parse (skipped tokens byte-scanned, kept
+    tokens converted) must be BIT-identical to full parse + select, in
+    any requested order, with the pandas fallback agreeing too."""
+    pattern = os.path.join(mg_tfsi_dme_dir, "dump.nvt.0.dump")
+    full = read_trajectory(pattern)
+    for cols in (["id", "type", "x", "y", "z"], ["vx", "id"], ["q"]):
+        pruned = read_trajectory(pattern, columns=cols)
+        np.testing.assert_array_equal(pruned.data, full.cols(cols))
+        assert pruned.columns == list(cols)
+    # the ctypes wrapper path directly vs numpy select
+    from mdproptools_tpu.io import _native
+
+    with open(pattern) as fh:
+        text = fh.read()
+    body = text.split("ITEM: ATOMS")[1].split("\n", 1)[1]
+    got = _native.parse_floats_cols(body, 19, [0, 2, 5, 6, 7])
+    if got is not None:  # native lib present
+        want = _native.parse_floats(body, 19)[:, [0, 2, 5, 6, 7]]
+        np.testing.assert_array_equal(got, want)
+
+
 def test_multi_frame_single_file(tmp_path):
     """Several frames concatenated into ONE dump file (LAMMPS default)."""
     import sys

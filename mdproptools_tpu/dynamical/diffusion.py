@@ -267,6 +267,50 @@ class Diffusion:
         )
         return msd
 
+    def detect_linear_region(self, msd, tol=0.2, min_points=5):
+        """Detect the diffusive (Fickian) regime of each MSD column: the
+        longest contiguous window where the local log-log slope
+        beta = dlog(MSD)/dlog(t) stays within ``tol`` of 1 (beta ~ 2 is
+        early-time ballistic motion, beta < 1 is caged/subdiffusive).
+        Returns (initial_time, final_time) dicts keyed by MSD column in
+        seconds — directly usable as ``calc_diff`` arguments:
+
+            d.calc_diff(msd, *d.detect_linear_region(msd))
+
+        The reference declares this method as an empty stub
+        (``diffusion.py:98-99``); implemented here (beyond-reference,
+        like ``Conductivity.einstein``/``nernst``). Raises ValueError if
+        no window of at least ``min_points`` samples qualifies."""
+        t = np.asarray(msd["Time (s)"], np.float64)
+        cols = [c for c in msd.columns if "msd" in c.lower()]
+        initial, final = {}, {}
+        for c in cols:
+            y = np.asarray(msd[c], np.float64)
+            ok = (t > 0) & (y > 0) & np.isfinite(y)
+            lt, ly = np.log(t[ok]), np.log(y[ok])
+            if len(lt) < max(min_points, 3):
+                raise ValueError(
+                    f"not enough positive MSD samples for {c!r}")
+            beta = np.gradient(ly, lt)
+            good = np.abs(beta - 1.0) <= tol
+            best = (0, 0)
+            run = None
+            for i, g in enumerate(list(good) + [False]):
+                if g and run is None:
+                    run = i
+                elif not g and run is not None:
+                    if i - run > best[1] - best[0]:
+                        best = (run, i)
+                    run = None
+            if best[1] - best[0] < min_points:
+                raise ValueError(
+                    f"no linear region of >= {min_points} points found "
+                    f"for {c!r} within tol={tol} of slope 1")
+            ts = t[ok]
+            initial[c] = float(ts[best[0]])
+            final[c] = float(ts[best[1] - 1])
+        return initial, final
+
     def calc_diff(self, msd, initial_time=None, final_time=None, dimension=3,
                   diff_names=None, save=False, plot=False):
         """Einstein-relation D from OLS slope of MSD vs time

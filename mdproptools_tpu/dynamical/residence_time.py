@@ -39,6 +39,18 @@ from mdproptools_tpu.ops import pairs as pair_ops
 from mdproptools_tpu.ops.precision import resolve_dtype
 
 
+def find_intersection(a, b):
+    """Sum of ``b[i, j]`` over the index pairs in ``a`` — a working
+    version of the reference's dead njit helper
+    (``residence_time.py:31-36``, defined but never called there); kept
+    for API parity."""
+    a = np.asarray(a)
+    if a.size == 0:
+        return 0
+    b = np.asarray(b)
+    return b[a[:, 0].astype(np.int64), a[:, 1].astype(np.int64)].sum()
+
+
 class ResidenceTime:
     def __init__(
         self,

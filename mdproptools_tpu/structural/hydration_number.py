@@ -38,6 +38,73 @@ from mdproptools_tpu.io.lammps_dump import iter_trajectory_blocks
 from mdproptools_tpu.ops.pbc import minimum_image
 
 
+def get_angle(data_head, water_df, r_cut, lx, ly, lz):
+    """Cosines between one cation's minimum-image vectors to each
+    in-shell water oxygen and that water's bisector, plus the fraction
+    of cosines < -0.72 (reference ``hydration_number.py:13-33``; same
+    outputs). ``data_head``: mapping/Series with x, y, z; ``water_df``:
+    DataFrame with x, y, z (oxygen) and x_v, y_v, z_v (bisector).
+    Documented divergence: an empty shell returns ([], 0.0) instead of
+    the reference's ZeroDivisionError."""
+    head = np.array(
+        [data_head["x"], data_head["y"], data_head["z"]], np.float64)
+    ow = water_df[["x", "y", "z"]].to_numpy(np.float64)
+    vec = water_df[["x_v", "y_v", "z_v"]].to_numpy(np.float64)
+    L = np.array([lx, ly, lz], np.float64)
+    d = head[None, :] - ow
+    d -= np.round(d / L) * L  # minimum image (reference single-wrap)
+    rsq = (d * d).sum(axis=1)
+    keep = rsq < float(r_cut) ** 2
+    d, vec, rsq = d[keep], vec[keep], rsq[keep]
+    if len(rsq) == 0:
+        return [], 0.0
+    denom = np.sqrt(rsq) * np.linalg.norm(vec, axis=1)
+    cos = (d * vec).sum(axis=1) / np.where(denom == 0, 1.0, denom)
+    return list(cos), float((cos < -0.72).sum() / len(cos))
+
+
+def get_all_angles(counter, dump, alter_atom_ids, num_mols,
+                   num_atoms_per_mol, cation_type, water_type, r_cut):
+    """Per-frame angle analysis (reference ``hydration_number.py:35-76``;
+    same outputs): returns (all in-shell cosines, mean per-cation
+    hydration factor) for one parsed frame. ``dump`` is an
+    ``io.lammps_dump.Frame`` (or anything with ``.box.bounds`` and a
+    ``to_dataframe()``/``.data`` DataFrame). ``counter`` is accepted for
+    signature parity (the reference prints it); ``alter_atom_ids`` is
+    accepted but has no effect on the outputs (the reference remaps
+    ``type`` and then never uses it — only ``mol_type`` selects rows)."""
+    del counter, alter_atom_ids
+    bounds = np.asarray(dump.box.bounds, np.float64)
+    lx, ly, lz = bounds[:, 1] - bounds[:, 0]
+    if hasattr(dump, "to_dataframe"):
+        df = dump.to_dataframe()
+    else:
+        df = dump.data
+    df = df.sort_values(by=["id"]).reset_index(drop=True)
+    system = System(num_mols, num_atoms_per_mol)
+    pos = df[["x", "y", "z"]].to_numpy(np.float64)
+    cation_sel = np.nonzero(system.mol_type == cation_type)[0]
+    water_sel = np.nonzero(system.mol_type == water_type)[0]
+    napm = system.num_atoms_per_mol[water_type - 1]
+    if napm < 3:
+        raise ValueError("water molecule type must have >= 3 atoms")
+    w_atoms = water_sel.reshape(-1, napm)
+    ow = pos[w_atoms[:, 0]]
+    vec = pos[w_atoms[:, 1]] + pos[w_atoms[:, 2]] - 2.0 * ow
+    water_df = pd.DataFrame(
+        np.concatenate([ow, vec], axis=1),
+        columns=["x", "y", "z", "x_v", "y_v", "z_v"])
+    cosines = []
+    factor = 0.0
+    for i in cation_sel:
+        cos, f = get_angle(
+            {"x": pos[i, 0], "y": pos[i, 1], "z": pos[i, 2]},
+            water_df, r_cut, lx, ly, lz)
+        cosines += cos
+        factor += f
+    return cosines, factor / max(len(cation_sel), 1)
+
+
 def get_hydration_number(
     dump_pattern,
     cation_type,

@@ -141,6 +141,42 @@ def test_calc_diff_recovers_synthetic_D(tmp_path):
     assert 0.9 < out.loc["rw", "R2"] <= 1.0
 
 
+def test_detect_linear_region_finds_fickian_window(tmp_path):
+    """Synthetic MSD: ballistic (t^2) up to 1 ns then linear — the
+    detected window must cover (only) the linear part and compose with
+    calc_diff to recover the slope's D."""
+    import pandas as pd
+
+    from mdproptools_tpu.dynamical.diffusion import Diffusion
+
+    t = np.linspace(1e-10, 1e-8, 200)
+    t0 = 1e-9
+    D, dim = 1e-9, 3
+    msd_lin = 2 * dim * D * t
+    msd_ball = (2 * dim * D / t0) * t ** 2
+    msd = pd.DataFrame({
+        "Time (s)": t,
+        "msd (m2/s)": np.where(t < t0, msd_ball, msd_lin),
+    })
+    d = Diffusion(timestep=1, units="real", outputs_dir=str(tmp_path))
+    initial, final = d.detect_linear_region(msd, tol=0.05)
+    assert initial["msd (m2/s)"] >= t0 * 0.9
+    assert final["msd (m2/s)"] == pytest.approx(t[-1], rel=0.05)
+    diff = d.calc_diff(msd, initial, final, dimension=dim, save=False,
+                       plot=False)
+    assert diff["diffusion (m2/s)"].iloc[0] == pytest.approx(D, rel=1e-3)
+
+
+def test_find_intersection_helper():
+    """Working version of the reference's dead njit helper."""
+    from mdproptools_tpu.dynamical.residence_time import find_intersection
+
+    b = np.arange(12).reshape(3, 4)
+    a = np.array([[0, 1], [2, 3], [1, 0]])
+    assert find_intersection(a, b) == 1 + 11 + 4
+    assert find_intersection(np.empty((0, 2)), b) == 0
+
+
 def test_get_diff_dist(tmp_path):
     msd_int = pd.DataFrame({
         "type": [1.0, 1.0, 2.0, 2.0],

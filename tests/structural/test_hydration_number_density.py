@@ -55,6 +55,34 @@ def test_hydration_number_known_angles(tmp_path):
     assert (tmp_path / "angles_df.csv").exists()
 
 
+def test_get_angle_and_get_all_angles_match_pipeline(tmp_path):
+    """The reference-compat per-frame helpers (get_angle /
+    get_all_angles) must reproduce the device pipeline's cosines and
+    factor on the same geometry."""
+    from mdproptools_tpu.io.lammps_dump import parse_lammps_dumps
+    from mdproptools_tpu.structural.hydration_number import get_all_angles
+
+    box = 20.0
+    cation = np.array([10.0, 10.0, 10.0])
+    oA = cation + [2.0, 0, 0]
+    hA1, hA2 = oA + [0.8, 0.3, 0], oA + [0.8, -0.3, 0]
+    oB = cation - [2.0, 0, 0]
+    hB1, hB2 = oB + [0.8, 0.3, 0], oB + [0.8, -0.3, 0]
+    pos = np.vstack([cation, oA, hA1, hA2, oB, hB1, hB2])
+    cols = ["id", "type", "x", "y", "z"]
+    data = np.zeros((7, 5))
+    data[:, 0] = np.arange(1, 8)
+    data[:, 1] = [1, 2, 3, 3, 2, 3, 3]
+    data[:, 2:5] = pos
+    write_traj(str(tmp_path), [0], 0.0, box, cols, [data])
+    frame = next(parse_lammps_dumps(str(tmp_path / "dump.test.*.dump")))
+    cosines, factor = get_all_angles(
+        0, frame, False, [1, 2], [1, 3], cation_type=1, water_type=2,
+        r_cut=3.0)
+    np.testing.assert_allclose(sorted(cosines), [-1.0, 1.0], atol=1e-12)
+    assert factor == pytest.approx(0.5)
+
+
 def test_number_density_profile(tmp_path):
     """Surface atoms (type 1) occupy x in [0, 2]; type-2 atoms placed at
     known distances beyond the surface; dist_from_interface > 0 shifts by

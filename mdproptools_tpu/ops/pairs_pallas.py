@@ -422,34 +422,46 @@ def pair_hist_rows_pallas(
         exclude_self=bool(exclude_self),
         triangle=bool(triangle),
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_chunks, n_groups),
-        in_specs=[
-            pl.BlockSpec((1, 3, LANE), lambda i, j, *s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANE), lambda i, j, *s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # whole column pack resident in VMEM (constant index -> one
-            # DMA for the entire grid)
-            pl.BlockSpec((n_groups, 4, KC * F), lambda i, j, *s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (n_codes_r * n_codes_c * H_SUB, F), lambda i, j, *s: (0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_codes_r * n_codes_c * H_SUB, F), jnp.float32
-        ),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(chunk_codes.astype(jnp.int32), tile_codes, mask_words, row_tiles,
-      rows, idxr, colpack, lengths.reshape(1, 3))
+    chunk_codes = chunk_codes.astype(jnp.int32)
+
+    def _call(cc_b, mask_b, rt_b, rows_b, idxr_b):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(rows_b.shape[0], n_groups),
+            in_specs=[
+                pl.BlockSpec((1, 3, LANE), lambda i, j, *s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, LANE), lambda i, j, *s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                # whole column pack resident in VMEM (constant index ->
+                # one DMA for the entire grid)
+                pl.BlockSpec((n_groups, 4, KC * F),
+                             lambda i, j, *s: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (n_codes_r * n_codes_c * H_SUB, F),
+                lambda i, j, *s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_codes_r * n_codes_c * H_SUB, F), jnp.float32
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(cc_b, tile_codes, mask_b, rt_b, rows_b, idxr_b, colpack,
+          lengths.reshape(1, 3))
+
+    out = _call(chunk_codes[:ROW_BLOCK], mask_words[:ROW_BLOCK],
+                row_tiles[:ROW_BLOCK], rows[:ROW_BLOCK], idxr[:ROW_BLOCK])
+    for s in range(ROW_BLOCK, n_chunks, ROW_BLOCK):
+        e = min(s + ROW_BLOCK, n_chunks)
+        out = out + _call(chunk_codes[s:e], mask_words[s:e],
+                          row_tiles[s:e], rows[s:e], idxr[s:e])
     # (ncr*ncc*H_SUB, F) -> (ncr, ncc, H_SUB*F): sublane-major unflatten
     out = out.reshape(n_codes_r, n_codes_c, H_SUB * F)[:, :, :n_bins]
     if triangle:
@@ -486,6 +498,13 @@ def pair_hist_rows_pallas(
 #   (a, b) pairs, so masks are exclusive); triangle mode adds the
 #   mirrored-orientation insert (1+rel(tb, ta))*HB + hi. The lhs of the
 #   dot is the SUM of these one-hots (values 0..3, exact in bf16).
+
+ROW_BLOCK = 1024  # row chunks per pallas_call: the scalar-prefetched
+#                   keep mask lands in SMEM padded to 128 lanes per row
+#                   (n_chunks x 128 x 4 B against a 1 MiB SMEM budget),
+#                   so larger row sets issue multiple calls whose
+#                   outputs sum exactly (row_tiles carries GLOBAL tile
+#                   indices, so the triangle rule is block-invariant)
 
 KC_REL = 32  # column tiles per grid program (relation kernel)
 C_GROUP_REL = 64  # independent column dots per roll step (swept 16/32/64
@@ -811,26 +830,33 @@ def pair_hist_relations_pallas(
         compact_cols=compact_cols,
         c_group=int(c_group),
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chunks, n_groups),
-        in_specs=[
-            pl.BlockSpec((1, 5, LANE), lambda i, j, *s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, 5, KC_REL * F),
-                         lambda i, j, *s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((m_pad, F), lambda i, j, *s: (0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((m_pad, F), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(mask_words, row_tiles, rowpack, colpack, lengths.reshape(1, 3))
+    def _call(mask_b, rt_b, rowpack_b):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(rowpack_b.shape[0], n_groups),
+            in_specs=[
+                pl.BlockSpec((1, 5, LANE), lambda i, j, *s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_groups, 5, KC_REL * F),
+                             lambda i, j, *s: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((m_pad, F), lambda i, j, *s: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((m_pad, F), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(mask_b, rt_b, rowpack_b, colpack, lengths.reshape(1, 3))
+
+    out = _call(mask_words[:ROW_BLOCK], row_tiles[:ROW_BLOCK],
+                rowpack[:ROW_BLOCK])
+    for s in range(ROW_BLOCK, n_chunks, ROW_BLOCK):
+        e = min(s + ROW_BLOCK, n_chunks)
+        out = out + _call(mask_words[s:e], row_tiles[s:e], rowpack[s:e])
 
     def block(blk):
         return out[blk * hb:(blk + 1) * hb].reshape(hb * F)[:n_bins]
@@ -870,6 +896,7 @@ def pair_hist_relations_pallas(
 
 def _cn_kernel(
     mask_ref,  # (n_chunks, n_groups) i32 keep bits (scalar prefetch)
+    row_tiles_ref,  # (n_chunks,) i32 GLOBAL tile index per row chunk
     rows_ref,  # (1, 5, LANE) f32: x/y/z/idxf/typef
     colpack_ref,  # (n_groups, 5, KC_REL * F) f32, VMEM-resident
     len_ref,  # (1, 3) f32 (SMEM)
@@ -923,8 +950,9 @@ def _cn_kernel(
             rsq = dx * dx + dy * dy + dz * dz
             valid = (idxr >= 0) & (idxc[None, :] >= 0)
             if triangle:
-                # cyclic-half rule: jj == i is the diagonal tile
-                valid &= (iota_lane > iota_sub) | (jj != i)
+                # cyclic-half rule: jj == this chunk's GLOBAL tile index
+                # is the diagonal tile
+                valid &= (iota_lane > iota_sub) | (jj != row_tiles_ref[i])
             if exclude_self:
                 valid &= idxr != idxc[None, :]
             for r, (a_r, b_r) in enumerate(relations):
@@ -1031,26 +1059,35 @@ def pair_count_relations_pallas(
         exclude_self=bool(exclude_self),
         triangle=bool(triangle),
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_chunks, n_groups),
-        in_specs=[
-            pl.BlockSpec((1, 5, LANE), lambda i, j, *s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, 5, KC_REL * F),
-                         lambda i, j, *s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((r_pad, F), lambda i, j, *s: (0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((r_pad, F), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(mask_words, rowpack, colpack, lengths.reshape(1, 3))
+    row_tiles = jnp.arange(n_chunks, dtype=jnp.int32)
+
+    def _call(mask_b, rt_b, rowpack_b):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(rowpack_b.shape[0], n_groups),
+            in_specs=[
+                pl.BlockSpec((1, 5, LANE), lambda i, j, *s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_groups, 5, KC_REL * F),
+                             lambda i, j, *s: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((r_pad, F), lambda i, j, *s: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((r_pad, F), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(mask_b, rt_b, rowpack_b, colpack, lengths.reshape(1, 3))
+
+    out = _call(mask_words[:ROW_BLOCK], row_tiles[:ROW_BLOCK],
+                rowpack[:ROW_BLOCK])
+    for s in range(ROW_BLOCK, n_chunks, ROW_BLOCK):
+        e = min(s + ROW_BLOCK, n_chunks)
+        out = out + _call(mask_words[s:e], row_tiles[s:e], rowpack[s:e])
     counts = out[:n_rel].sum(axis=1)
     if triangle and not exclude_self:
         if counts_r is None:

@@ -231,6 +231,55 @@ def test_sharded_triangle_two_shards_sum_to_dense():
         np.testing.assert_array_equal(total, want)
 
 
+def test_row_block_split_matches_single(monkeypatch):
+    """ROW_BLOCK splitting (the SMEM-budget guard: big row sets issue
+    several pallas_calls whose outputs sum) must not change any
+    kernel's counts — forced here with ROW_BLOCK=2 on a 6-tile system."""
+    import mdproptools_tpu.ops.pairs_pallas as pp_mod
+    from mdproptools_tpu.ops.pairs_pallas import (
+        pair_count_relations_pallas,
+        pair_hist_relations_pallas,
+    )
+
+    rng = np.random.default_rng(43)
+    n, box = 700, 14.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    L = jnp.full(3, box, jnp.float32)
+    n_pad = -(-n // 128) * 128
+    pm = pair_ops.device_sort_orb(jnp.asarray(pos), n, n_pad, L)
+    pr = pair_ops.gather_padded_perm(jnp.asarray(pos), pm)
+    codes0 = jnp.asarray(codes - 1, jnp.float32)
+    ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
+    relations = np.array([[1, 2], [3, 3]])
+    r_cuts = np.array([3.0, 4.5])
+    ppd = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    nc = lay.n_padded // 128
+
+    def run_all():
+        f, r = pair_hist_relations_pallas(
+            pr, pm, ty, pr, pm, ty, relations - 1, L, 0.1, 128, 6.0,
+            True, True, triangle=True, interpret=True)
+        cn = pair_count_relations_pallas(
+            pr, pm, ty, pr, pm, ty, relations - 1, r_cuts, L, True,
+            triangle=True, interpret=True)
+        hist = pair_hist_rows_pallas(
+            ppd.reshape(nc, 128, 3),
+            jnp.asarray(lay.perm).reshape(nc, 128).astype(jnp.int32),
+            jnp.asarray(lay.chunk_codes, jnp.int32),
+            ppd, lay, 3, L, 0.1, 128, 6.0, True, interpret=True,
+            triangle=True)
+        return (np.asarray(f), np.asarray(r), np.asarray(cn),
+                np.asarray(hist))
+
+    want = run_all()
+    monkeypatch.setattr(pp_mod, "ROW_BLOCK", 2)
+    got = run_all()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_rel_sharded_triangle_two_shards_sum_to_dense():
     """Row-sharded relation kernel (cyclic-half rule with explicit
     global row_tiles): per-shard (full, rels) summed must equal the

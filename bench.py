@@ -143,12 +143,16 @@ def bench_gk():
         # 101 widely-spaced frames -> noisy ACF; escalate tol until the
         # plateau detector finds a window (reference behavior on sparse
         # data)
+        ave = None
         for tol in (1e-4, 1e-2, 0.5, 1.0, 2.0):
             try:
                 ave, _ = cond.fit_curve(tot, integ, tol=tol)
                 break
             except ValueError:
                 continue
+        if ave is None:
+            raise RuntimeError(
+                "plateau detection failed at every tolerance up to 2.0")
         sigma = cond.green_kubo(ave)
         dt = min(dt, time.time() - t0)
     assert np.isfinite(sigma).all()

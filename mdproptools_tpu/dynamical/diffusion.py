@@ -327,8 +327,11 @@ class Diffusion:
         models = []
         windows = []
         for ind, col in enumerate(msd_col_names):
-            lo = initial_time.get(ind, min_t)
-            hi = final_time.get(ind, max_t)
+            # reference keys the window dicts by integer column position
+            # (diffusion.py:319-320); column-NAME keys are also accepted
+            # so detect_linear_region's return composes directly
+            lo = initial_time.get(col, initial_time.get(ind, min_t))
+            hi = final_time.get(col, final_time.get(ind, max_t))
             win = msd[(msd["Time (s)"] >= lo) & (msd["Time (s)"] <= hi)]
             windows.append(win)
             model = ols_no_intercept(win["Time (s)"].to_numpy(),

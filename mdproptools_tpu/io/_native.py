@@ -26,19 +26,29 @@ def _load():
     stale = (os.path.exists(path) and os.path.exists(src)
              and os.path.getmtime(src) > os.path.getmtime(path))
     if not os.path.exists(path) or stale:
-        # attempt an on-demand (re)build (toolchain present in dev envs)
+        # On-demand (re)build (toolchain present in dev envs), made
+        # atomic for concurrent importers (parallel test workers):
+        # compile to a temp name, then os.replace over the target —
+        # a concurrent dlopen sees either the old or the new library,
+        # never a half-written file. A failed build keeps the old .so
+        # (missing new symbols degrade gracefully via hasattr guards).
+        tmp = f"{path}.build.{os.getpid()}"
         try:
             import subprocess
 
-            if os.path.exists(os.path.join(src_dir, "Makefile")):
-                subprocess.run(
-                    ["make", "-C", src_dir, "-s"] + (["-B"] if stale
-                                                     else []),
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
+                 "-shared", "-o", tmp, src],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            os.replace(tmp, path)
         except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             if not os.path.exists(path):
                 return None
     if not os.path.exists(path):
@@ -95,14 +105,17 @@ def parse_floats(text: str, ncols: int):
 
 
 def parse_floats_cols(text: str, ncols: int, keep_idx):
-    """Parse only the columns in ``keep_idx`` (file order preserved) of
-    a whitespace table with ``ncols`` tokens per row; skipped tokens are
-    byte-scanned, not converted. Returns (rows, len(keep_idx)) float64
-    or None (caller falls back to full parse + select)."""
+    """Parse only the columns in ``keep_idx`` of a whitespace table with
+    ``ncols`` tokens per row; skipped tokens are byte-scanned, not
+    converted. Returns (rows, len(keep_idx)) float64 with the columns in
+    the ORDER requested by ``keep_idx``, or None (caller falls back to
+    full parse + select). Raises ValueError on duplicate indices."""
+    keep_idx = [int(k) for k in keep_idx]
+    if len(set(keep_idx)) != len(keep_idx):
+        raise ValueError(f"duplicate column indices in {keep_idx}")
     lib = _load()
     if lib is None or not hasattr(lib, "mdpt_parse_table_cols"):
         return None
-    keep_idx = sorted(int(k) for k in keep_idx)
     mask = np.zeros(ncols, np.uint8)
     mask[keep_idx] = 1
     n_keep = int(mask.sum())
@@ -120,4 +133,8 @@ def parse_floats_cols(text: str, ncols: int, keep_idx):
     )
     if n < 0:
         return None
+    # the C pass extracts in FILE order; restore the requested order
+    file_order = sorted(keep_idx)
+    if file_order != keep_idx:
+        out = out[:, [file_order.index(k) for k in keep_idx]]
     return out[:n]

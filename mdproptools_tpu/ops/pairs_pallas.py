@@ -456,10 +456,11 @@ def pair_hist_rows_pallas(
         )(cc_b, tile_codes, mask_b, rt_b, rows_b, idxr_b, colpack,
           lengths.reshape(1, 3))
 
-    out = _call(chunk_codes[:ROW_BLOCK], mask_words[:ROW_BLOCK],
-                row_tiles[:ROW_BLOCK], rows[:ROW_BLOCK], idxr[:ROW_BLOCK])
-    for s in range(ROW_BLOCK, n_chunks, ROW_BLOCK):
-        e = min(s + ROW_BLOCK, n_chunks)
+    rb = _row_block(n_groups)
+    out = _call(chunk_codes[:rb], mask_words[:rb],
+                row_tiles[:rb], rows[:rb], idxr[:rb])
+    for s in range(rb, n_chunks, rb):
+        e = min(s + rb, n_chunks)
         out = out + _call(chunk_codes[s:e], mask_words[s:e],
                           row_tiles[s:e], rows[s:e], idxr[s:e])
     # (ncr*ncc*H_SUB, F) -> (ncr, ncc, H_SUB*F): sublane-major unflatten
@@ -499,12 +500,18 @@ def pair_hist_rows_pallas(
 #   mirrored-orientation insert (1+rel(tb, ta))*HB + hi. The lhs of the
 #   dot is the SUM of these one-hots (values 0..3, exact in bf16).
 
-ROW_BLOCK = 1024  # row chunks per pallas_call: the scalar-prefetched
-#                   keep mask lands in SMEM padded to 128 lanes per row
-#                   (n_chunks x 128 x 4 B against a 1 MiB SMEM budget),
-#                   so larger row sets issue multiple calls whose
-#                   outputs sum exactly (row_tiles carries GLOBAL tile
-#                   indices, so the triangle rule is block-invariant)
+ROW_BLOCK = 1024  # cap on row chunks per pallas_call (see _row_block)
+
+
+def _row_block(n_groups: int) -> int:
+    """Row chunks per pallas_call: the scalar-prefetched keep mask lands
+    in SMEM padded to 128 lanes per row — rows x max(n_groups, 128) x
+    4 B against a 1 MiB SMEM budget — so the block size shrinks as the
+    column-group count grows (512 KiB mask budget leaves headroom for
+    the other prefetch operands). Larger row sets issue multiple calls
+    whose outputs sum exactly (row_tiles carries GLOBAL tile indices,
+    so the triangle rule is block-invariant)."""
+    return min(ROW_BLOCK, max(8, (1 << 17) // max(n_groups, 128)))
 
 KC_REL = 32  # column tiles per grid program (relation kernel)
 C_GROUP_REL = 64  # independent column dots per roll step (swept 16/32/64
@@ -852,10 +859,10 @@ def pair_hist_relations_pallas(
             interpret=interpret,
         )(mask_b, rt_b, rowpack_b, colpack, lengths.reshape(1, 3))
 
-    out = _call(mask_words[:ROW_BLOCK], row_tiles[:ROW_BLOCK],
-                rowpack[:ROW_BLOCK])
-    for s in range(ROW_BLOCK, n_chunks, ROW_BLOCK):
-        e = min(s + ROW_BLOCK, n_chunks)
+    rb = _row_block(n_groups)
+    out = _call(mask_words[:rb], row_tiles[:rb], rowpack[:rb])
+    for s in range(rb, n_chunks, rb):
+        e = min(s + rb, n_chunks)
         out = out + _call(mask_words[s:e], row_tiles[s:e], rowpack[s:e])
 
     def block(blk):
@@ -1083,10 +1090,10 @@ def pair_count_relations_pallas(
             interpret=interpret,
         )(mask_b, rt_b, rowpack_b, colpack, lengths.reshape(1, 3))
 
-    out = _call(mask_words[:ROW_BLOCK], row_tiles[:ROW_BLOCK],
-                rowpack[:ROW_BLOCK])
-    for s in range(ROW_BLOCK, n_chunks, ROW_BLOCK):
-        e = min(s + ROW_BLOCK, n_chunks)
+    rb = _row_block(n_groups)
+    out = _call(mask_words[:rb], row_tiles[:rb], rowpack[:rb])
+    for s in range(rb, n_chunks, rb):
+        e = min(s + rb, n_chunks)
         out = out + _call(mask_words[s:e], row_tiles[s:e], rowpack[s:e])
     counts = out[:n_rel].sum(axis=1)
     if triangle and not exclude_self:

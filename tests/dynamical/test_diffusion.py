@@ -158,13 +158,18 @@ def test_detect_linear_region_finds_fickian_window(tmp_path):
         "Time (s)": t,
         "msd (m2/s)": np.where(t < t0, msd_ball, msd_lin),
     })
-    d = Diffusion(timestep=1, units="real", outputs_dir=str(tmp_path))
+    d = Diffusion(timestep=1, units="real", outputs_dir=str(tmp_path),
+                  diff_dir=str(tmp_path))
     initial, final = d.detect_linear_region(msd, tol=0.05)
     assert initial["msd (m2/s)"] >= t0 * 0.9
     assert final["msd (m2/s)"] == pytest.approx(t[-1], rel=0.05)
     diff = d.calc_diff(msd, initial, final, dimension=dim, save=False,
                        plot=False)
-    assert diff["diffusion (m2/s)"].iloc[0] == pytest.approx(D, rel=1e-3)
+    # a WINDOWED fit of the purely-linear region recovers D exactly and
+    # R2 = 1; a full-range fit (window ignored) gives 9.9975e-10 and
+    # R2 = 0.9999 on this data — tight tolerances catch that regression
+    assert diff["diffusion (m2/s)"].iloc[0] == pytest.approx(D, rel=1e-9)
+    assert diff["R2"].iloc[0] == pytest.approx(1.0, abs=1e-9)
 
 
 def test_find_intersection_helper():

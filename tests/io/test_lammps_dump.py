@@ -79,8 +79,15 @@ def test_column_masked_parse_bit_exact(mg_tfsi_dme_dir):
     body = text.split("ITEM: ATOMS")[1].split("\n", 1)[1]
     got = _native.parse_floats_cols(body, 19, [0, 2, 5, 6, 7])
     if got is not None:  # native lib present
-        want = _native.parse_floats(body, 19)[:, [0, 2, 5, 6, 7]]
-        np.testing.assert_array_equal(got, want)
+        full_tab = _native.parse_floats(body, 19)
+        np.testing.assert_array_equal(got, full_tab[:, [0, 2, 5, 6, 7]])
+        # requested (non-file) order is honored; duplicates rejected
+        np.testing.assert_array_equal(
+            _native.parse_floats_cols(body, 19, [5, 0]),
+            full_tab[:, [5, 0]])
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            _native.parse_floats_cols(body, 19, [1, 1])
 
 
 def test_multi_frame_single_file(tmp_path):

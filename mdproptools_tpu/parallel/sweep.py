@@ -81,11 +81,24 @@ def sweep_rdf(
         return prefetch_iter(gen(), depth=2)
 
     radii = rdf_cn._radii(bin_size, num_bins)
-    out = []
+    # queue EVERY trajectory's device work asynchronously, keeping each
+    # running sum on device; one stacked fetch at the end replaces
+    # n_trajectories synchronizing transfers (~0.25 s each through the
+    # axon tunnel — the dominant cost for sweeps of short trajectories)
+    totals = []
+    counts = []
     for name, f in zip(labels, filenames):
         with stage("sweep_rdf", trajectory=name):
-            rows = rdf_cn._run_stream(run_block, (nrows, num_bins),
-                                      traj_blocks(f), dtype)
+            tot, T = rdf_cn._accumulate_stream_device(
+                run_block, traj_blocks(f), dtype)
+            totals.append(tot)
+            counts.append(T)
+    import jax.numpy as jnp
+
+    stacked = np.asarray(jnp.stack(totals), np.float64)  # ONE fetch
+    out = []
+    for k, name in enumerate(labels):
+        rows = stacked[k] / counts[k]
         df = rdf_cn._save_rdf(radii, relation_matrix, None, False,
                               rows[1:], rows[0])
         df.insert(0, "trajectory", name)

@@ -274,6 +274,49 @@ def _make_block_runner(step_fn, out_shape, dtype, mesh=None):
     return run_block
 
 
+def _pad_block(pos_b, pc_b, len_b, n_pad_to):
+    """Pad a frame block to a multiple of the frames-mesh size with
+    zero-weight copies of the first frame (equal shards requirement)."""
+    nb = pos_b.shape[0]
+    w = np.ones(nb)
+    if n_pad_to > 1 and nb % n_pad_to:
+        extra = n_pad_to - nb % n_pad_to
+        pos_b = np.concatenate(
+            [pos_b, np.repeat(pos_b[:1], extra, axis=0)])
+        if pc_b is not None:
+            pc_b = np.concatenate(
+                [pc_b, np.repeat(pc_b[:1], extra, axis=0)])
+        len_b = np.concatenate(
+            [len_b, np.repeat(len_b[:1], extra, axis=0)])
+        w = np.concatenate([w, np.zeros(extra)])
+    return pos_b, pc_b, len_b, w
+
+
+def _accumulate_stream_device(run_block, blocks, dtype, n_pad_to=1):
+    """Stream host blocks through ``run_block`` and return the UNFETCHED
+    on-device running sum plus the frame count. Dispatch is async, so
+    the caller can queue MANY trajectories' work and fetch all results
+    in one synchronizing transfer — each fetch through the axon tunnel
+    costs ~0.25 s regardless of size, which dominates sweeps of short
+    trajectories if paid per trajectory."""
+    total = None
+    T = 0
+    for pos_b, pc_b, len_b in blocks:
+        with stage("frame_block", start=T, frames=pos_b.shape[0]):
+            nb = pos_b.shape[0]
+            pos_b, pc_b, len_b, w = _pad_block(pos_b, pc_b, len_b,
+                                               n_pad_to)
+            pb = jnp.asarray(pos_b, dtype)
+            pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
+            cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),
+                            jnp.asarray(w, dtype))
+            total = cur if total is None else total + cur
+            T += nb
+    if T == 0:
+        raise ValueError("no frames to average")
+    return total, T
+
+
 def _run_stream(run_block, out_shape, blocks, dtype, n_pad_to=1):
     """Stream (pos_b, pos_cols_b|None, lengths_b) host blocks through a
     block runner; returns the frame mean (running sum fetched once per
@@ -289,19 +332,8 @@ def _run_stream(run_block, out_shape, blocks, dtype, n_pad_to=1):
     for pos_b, pc_b, len_b in blocks:
         with stage("frame_block", start=T, frames=pos_b.shape[0]):
             nb = pos_b.shape[0]
-            w = np.ones(nb)
-            if n_pad_to > 1 and nb % n_pad_to:
-                # frame-mesh sharding needs equal shards: pad with
-                # zero-weight copies of the first frame
-                extra = n_pad_to - nb % n_pad_to
-                pos_b = np.concatenate(
-                    [pos_b, np.repeat(pos_b[:1], extra, axis=0)])
-                if pc_b is not None:
-                    pc_b = np.concatenate(
-                        [pc_b, np.repeat(pc_b[:1], extra, axis=0)])
-                len_b = np.concatenate(
-                    [len_b, np.repeat(len_b[:1], extra, axis=0)])
-                w = np.concatenate([w, np.zeros(extra)])
+            pos_b, pc_b, len_b, w = _pad_block(pos_b, pc_b, len_b,
+                                               n_pad_to)
             pb = jnp.asarray(pos_b, dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
             cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),

@@ -51,7 +51,7 @@ def main():
 
     rows = []
     for reps in [(1, 1, 1), (2, 1, 1), (2, 2, 1), (2, 2, 2), (2, 2, 4),
-                 (2, 4, 4)]:
+                 (2, 4, 4), (4, 4, 4)]:
         shifts = [(i, j, k) for i in range(reps[0])
                   for j in range(reps[1]) for k in range(reps[2])]
         pos = np.concatenate([pos1 + np.array(s) * L1 for s in shifts])

@@ -461,8 +461,12 @@ def pair_hist_rows_pallas(
                 row_tiles[:rb], rows[:rb], idxr[:rb])
     for s in range(rb, n_chunks, rb):
         e = min(s + rb, n_chunks)
+        rows_b = rows[s:e]
+        # serialize block calls so their scoped VMEM stacks never
+        # coexist in the schedule (see the rel-kernel wrapper)
+        out, rows_b = jax.lax.optimization_barrier((out, rows_b))
         out = out + _call(chunk_codes[s:e], mask_words[s:e],
-                          row_tiles[s:e], rows[s:e], idxr[s:e])
+                          row_tiles[s:e], rows_b, idxr[s:e])
     # (ncr*ncc*H_SUB, F) -> (ncr, ncc, H_SUB*F): sublane-major unflatten
     out = out.reshape(n_codes_r, n_codes_c, H_SUB * F)[:, :, :n_bins]
     if triangle:
@@ -502,6 +506,22 @@ def pair_hist_rows_pallas(
 
 ROW_BLOCK = 1024  # cap on row chunks per pallas_call (see _row_block)
 
+COL_GROUP_BLOCK = 24  # column groups (of KC tiles each) per pallas_call.
+#                       The column pack is VMEM-resident at groups x 5 x
+#                       KC*F x 4 B and its pipeline buffering plus the
+#                       kernel's scoped stack must fit the 16 MiB VMEM
+#                       budget. Empirical at 671k atoms (measured scoped
+#                       sizes: unblocked 164 groups -> 20.5 MiB OOM,
+#                       96 -> 24.2 OOM, 48 -> 18.2 OOM, 24 -> compiles
+#                       and runs; the accounting is super-linear in the
+#                       block size, so derive from measurements, not
+#                       arithmetic). Bigger systems iterate column
+#                       blocks; the global group offset is scalar-
+#                       prefetched so every block shares ONE compiled
+#                       kernel, and the block calls are chained with
+#                       optimization_barrier so their stacks never
+#                       coexist.
+
 
 def _row_block(n_groups: int) -> int:
     """Row chunks per pallas_call: the scalar-prefetched keep mask lands
@@ -524,6 +544,9 @@ def _rel_kernel(
     row_tiles_ref,  # (n_chunks,) i32 GLOBAL tile index per row chunk
     #                 (arange unsharded; the shard's slice positions in
     #                 the all-gathered global order under row sharding)
+    col_off_ref,  # (1,) i32 GLOBAL group offset of this column block
+    #               (prefetched, not static, so column blocks share one
+    #               compiled kernel)
     rows_ref,  # (1, 5, LANE) f32: x/y/z/idxf/typef
     colpack_ref,  # (n_groups, 5, KC_REL * F) f32, VMEM-resident
     len_ref,  # (1, 3) f32 (SMEM)
@@ -574,7 +597,7 @@ def _rel_kernel(
 
         def subtile(_t, w):  # runs once per SET bit of the keep word
             k = _ctz32(w)
-            jj = j * KC_REL + k
+            jj = (col_off_ref[0] + j) * KC_REL + k
             off = pl.multiple_of(k * F, F)
             xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
             yc = colpack_ref[j, 1, pl.ds(off, F)]
@@ -837,14 +860,15 @@ def pair_hist_relations_pallas(
         compact_cols=compact_cols,
         c_group=int(c_group),
     )
-    def _call(mask_b, rt_b, rowpack_b):
+    def _call(mask_b, rt_b, co_b, rowpack_b, colpack_b):
+        ng = colpack_b.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(rowpack_b.shape[0], n_groups),
+            num_scalar_prefetch=3,
+            grid=(rowpack_b.shape[0], ng),
             in_specs=[
                 pl.BlockSpec((1, 5, LANE), lambda i, j, *s: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_groups, 5, KC_REL * F),
+                pl.BlockSpec((ng, 5, KC_REL * F),
                              lambda i, j, *s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -857,13 +881,27 @@ def pair_hist_relations_pallas(
             out_shape=jax.ShapeDtypeStruct((m_pad, F), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(mask_b, rt_b, rowpack_b, colpack, lengths.reshape(1, 3))
+        )(mask_b, rt_b, co_b, rowpack_b, colpack_b,
+          lengths.reshape(1, 3))
 
-    rb = _row_block(n_groups)
-    out = _call(mask_words[:rb], row_tiles[:rb], rowpack[:rb])
-    for s in range(rb, n_chunks, rb):
-        e = min(s + rb, n_chunks)
-        out = out + _call(mask_words[s:e], row_tiles[s:e], rowpack[s:e])
+    rb = _row_block(min(n_groups, COL_GROUP_BLOCK))
+    out = None
+    for cs in range(0, n_groups, COL_GROUP_BLOCK):
+        ce = min(cs + COL_GROUP_BLOCK, n_groups)
+        co_b = jnp.asarray([cs], jnp.int32)
+        colpack_b = colpack[cs:ce]
+        for s in range(0, n_chunks, rb):
+            e = min(s + rb, n_chunks)
+            rp = rowpack[s:e]
+            if out is not None:
+                # serialize the block calls: their INPUTS are mutually
+                # independent, so without this dependency XLA schedules
+                # several pallas_calls live at once and their scoped
+                # VMEM stacks SUM (observed: 2x at 671k atoms -> OOM)
+                out, rp = jax.lax.optimization_barrier((out, rp))
+            r = _call(mask_words[s:e, cs:ce], row_tiles[s:e], co_b,
+                      rp, colpack_b)
+            out = r if out is None else out + r
 
     def block(blk):
         return out[blk * hb:(blk + 1) * hb].reshape(hb * F)[:n_bins]
@@ -904,6 +942,7 @@ def pair_hist_relations_pallas(
 def _cn_kernel(
     mask_ref,  # (n_chunks, n_groups) i32 keep bits (scalar prefetch)
     row_tiles_ref,  # (n_chunks,) i32 GLOBAL tile index per row chunk
+    col_off_ref,  # (1,) i32 GLOBAL group offset of this column block
     rows_ref,  # (1, 5, LANE) f32: x/y/z/idxf/typef
     colpack_ref,  # (n_groups, 5, KC_REL * F) f32, VMEM-resident
     len_ref,  # (1, 3) f32 (SMEM)
@@ -943,7 +982,7 @@ def _cn_kernel(
 
         def subtile(_t, w):  # runs once per SET bit of the keep word
             k = _ctz32(w)
-            jj = j * KC_REL + k
+            jj = (col_off_ref[0] + j) * KC_REL + k
             off = pl.multiple_of(k * F, F)
             xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
             yc = colpack_ref[j, 1, pl.ds(off, F)]
@@ -1068,14 +1107,15 @@ def pair_count_relations_pallas(
     )
     row_tiles = jnp.arange(n_chunks, dtype=jnp.int32)
 
-    def _call(mask_b, rt_b, rowpack_b):
+    def _call(mask_b, rt_b, co_b, rowpack_b, colpack_b):
+        ng = colpack_b.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(rowpack_b.shape[0], n_groups),
+            num_scalar_prefetch=3,
+            grid=(rowpack_b.shape[0], ng),
             in_specs=[
                 pl.BlockSpec((1, 5, LANE), lambda i, j, *s: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_groups, 5, KC_REL * F),
+                pl.BlockSpec((ng, 5, KC_REL * F),
                              lambda i, j, *s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1088,13 +1128,27 @@ def pair_count_relations_pallas(
             out_shape=jax.ShapeDtypeStruct((r_pad, F), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(mask_b, rt_b, rowpack_b, colpack, lengths.reshape(1, 3))
+        )(mask_b, rt_b, co_b, rowpack_b, colpack_b,
+          lengths.reshape(1, 3))
 
-    rb = _row_block(n_groups)
-    out = _call(mask_words[:rb], row_tiles[:rb], rowpack[:rb])
-    for s in range(rb, n_chunks, rb):
-        e = min(s + rb, n_chunks)
-        out = out + _call(mask_words[s:e], row_tiles[s:e], rowpack[s:e])
+    rb = _row_block(min(n_groups, COL_GROUP_BLOCK))
+    out = None
+    for cs in range(0, n_groups, COL_GROUP_BLOCK):
+        ce = min(cs + COL_GROUP_BLOCK, n_groups)
+        co_b = jnp.asarray([cs], jnp.int32)
+        colpack_b = colpack[cs:ce]
+        for s in range(0, n_chunks, rb):
+            e = min(s + rb, n_chunks)
+            rp = rowpack[s:e]
+            if out is not None:
+                # serialize the block calls: their INPUTS are mutually
+                # independent, so without this dependency XLA schedules
+                # several pallas_calls live at once and their scoped
+                # VMEM stacks SUM (observed: 2x at 671k atoms -> OOM)
+                out, rp = jax.lax.optimization_barrier((out, rp))
+            r = _call(mask_words[s:e, cs:ce], row_tiles[s:e], co_b,
+                      rp, colpack_b)
+            out = r if out is None else out + r
     counts = out[:n_rel].sum(axis=1)
     if triangle and not exclude_self:
         if counts_r is None:

@@ -279,6 +279,25 @@ def test_row_block_split_matches_single(monkeypatch):
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
 
+    # column-group splitting too (KC_REL shrunk so the 6-tile system
+    # spans several groups; every (row, column) block combination runs
+    # with a non-zero prefetched group offset)
+    monkeypatch.setattr(pp_mod, "KC_REL", 2)
+    monkeypatch.setattr(pp_mod, "COL_GROUP_BLOCK", 1)
+
+    def run_rel_cn():
+        f, r = pair_hist_relations_pallas(
+            pr, pm, ty, pr, pm, ty, relations - 1, L, 0.1, 128, 6.0,
+            True, True, triangle=True, interpret=True)
+        cn = pair_count_relations_pallas(
+            pr, pm, ty, pr, pm, ty, relations - 1, r_cuts, L, True,
+            triangle=True, interpret=True)
+        return np.asarray(f), np.asarray(r), np.asarray(cn)
+
+    got2 = run_rel_cn()
+    for g, w in zip(got2, want[:3]):
+        np.testing.assert_array_equal(g, w)
+
 
 def test_rel_sharded_triangle_two_shards_sum_to_dense():
     """Row-sharded relation kernel (cyclic-half rule with explicit

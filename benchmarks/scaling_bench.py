@@ -68,7 +68,13 @@ def main():
                 dtype=jnp.float32,
             )
 
-        dt, noisy, (g_full, _) = steady_state_seconds_per_frame(run)
+        # shorter runs at the largest sizes: frames cost seconds there,
+        # and a quarter hour of continuous remote kernel time has been
+        # seen to crash the tunneled TPU worker mid-benchmark
+        light = {"t_small": 2, "t_big": 6, "repeats": 2} \
+            if len(codes) > 400_000 else {}
+        dt, noisy, (g_full, _) = steady_state_seconds_per_frame(
+            run, **light)
         assert abs(float(g_full[-1]) - 1.0) < 0.05, "g(r->r_cut) != 1"
         row = {
             "atoms": int(len(codes)),

@@ -84,6 +84,9 @@ def main():
         }
         if noisy:
             row["noise_limited"] = True  # upper bound, not a delta
+        if light:
+            row["methodology"] = ("(t(6) - t(2)) / 4, best-of-2 — "
+                                  "shortened runs at this size")
         rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
 

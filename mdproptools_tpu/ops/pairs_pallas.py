@@ -803,7 +803,15 @@ def pair_hist_relations_pallas(
     idx_c = jnp.asarray(idx_c, jnp.int32)
     lengths = jnp.asarray(lengths, f32)
 
-    pad_tiles = (-n_tiles) % KC_REL
+    # pad to a KC_REL multiple; when the system spans several column
+    # blocks, pad the GROUP count to a COL_GROUP_BLOCK multiple too, so
+    # every block (tail included) has identical shapes and shares one
+    # compiled kernel (pad groups are all-pad tiles the keep mask culls
+    # to zero cost)
+    groups0 = -(-n_tiles // KC_REL)
+    if groups0 > COL_GROUP_BLOCK:
+        groups0 = -(-groups0 // COL_GROUP_BLOCK) * COL_GROUP_BLOCK
+    pad_tiles = groups0 * KC_REL - n_tiles
     pos_c3 = pos_c.reshape(n_tiles, F, 3)
     idx_c3 = idx_c.reshape(n_tiles, F)
     tyc = jnp.asarray(types_c, f32).reshape(n_tiles, F)
@@ -1066,7 +1074,15 @@ def pair_count_relations_pallas(
     idx_c = jnp.asarray(idx_c, jnp.int32)
     lengths = jnp.asarray(lengths, f32)
 
-    pad_tiles = (-n_tiles) % KC_REL
+    # pad to a KC_REL multiple; when the system spans several column
+    # blocks, pad the GROUP count to a COL_GROUP_BLOCK multiple too, so
+    # every block (tail included) has identical shapes and shares one
+    # compiled kernel (pad groups are all-pad tiles the keep mask culls
+    # to zero cost)
+    groups0 = -(-n_tiles // KC_REL)
+    if groups0 > COL_GROUP_BLOCK:
+        groups0 = -(-groups0 // COL_GROUP_BLOCK) * COL_GROUP_BLOCK
+    pad_tiles = groups0 * KC_REL - n_tiles
     pos_c3 = pos_c.reshape(n_tiles, F, 3)
     idx_c3 = idx_c.reshape(n_tiles, F)
     tyc = jnp.asarray(types_c, f32).reshape(n_tiles, F)

@@ -81,24 +81,46 @@ def sweep_rdf(
         return prefetch_iter(gen(), depth=2)
 
     radii = rdf_cn._radii(bin_size, num_bins)
-    # queue EVERY trajectory's device work asynchronously, keeping each
-    # running sum on device; one stacked fetch at the end replaces
-    # n_trajectories synchronizing transfers (~0.25 s each through the
-    # axon tunnel — the dominant cost for sweeps of short trajectories)
-    totals = []
+    # queue trajectories' device work asynchronously: single-block
+    # trajectories keep their running sum on device and a BATCHED fetch
+    # replaces per-trajectory synchronizing transfers (~0.25 s each
+    # through the axon tunnel — the dominant cost for sweeps of short
+    # trajectories); multi-block trajectories already fetched per block
+    # inside _accumulate_stream_device (host-f64 totals, bounded
+    # in-flight memory). A flush every FLUSH_EVERY pending results
+    # bounds the queued device input buffers for very large sweeps.
+    import jax.numpy as jnp
+
+    FLUSH_EVERY = 64
+
+    totals: list = []
     counts = []
+    pending: list = []  # indices into totals still holding device arrays
+
+    def flush():
+        if not pending:
+            return
+        fetched = np.asarray(
+            jnp.stack([totals[k] for k in pending]), np.float64)
+        for j, k in enumerate(pending):
+            totals[k] = fetched[j]
+        pending.clear()
+
     for name, f in zip(labels, filenames):
         with stage("sweep_rdf", trajectory=name):
             tot, T = rdf_cn._accumulate_stream_device(
                 run_block, traj_blocks(f), dtype)
+            if not isinstance(tot, np.ndarray):
+                pending.append(len(totals))
             totals.append(tot)
             counts.append(T)
-    import jax.numpy as jnp
+            if len(pending) >= FLUSH_EVERY:
+                flush()
+    flush()
 
-    stacked = np.asarray(jnp.stack(totals), np.float64)  # ONE fetch
     out = []
     for k, name in enumerate(labels):
-        rows = stacked[k] / counts[k]
+        rows = np.asarray(totals[k], np.float64) / counts[k]
         df = rdf_cn._save_rdf(radii, relation_matrix, None, False,
                               rows[1:], rows[0])
         df.insert(0, "trajectory", name)

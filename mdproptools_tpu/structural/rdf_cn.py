@@ -293,13 +293,17 @@ def _pad_block(pos_b, pc_b, len_b, n_pad_to):
 
 
 def _accumulate_stream_device(run_block, blocks, dtype, n_pad_to=1):
-    """Stream host blocks through ``run_block`` and return the UNFETCHED
-    on-device running sum plus the frame count. Dispatch is async, so
-    the caller can queue MANY trajectories' work and fetch all results
-    in one synchronizing transfer — each fetch through the axon tunnel
-    costs ~0.25 s regardless of size, which dominates sweeps of short
-    trajectories if paid per trajectory."""
-    total = None
+    """Stream host blocks through ``run_block`` and return the running
+    SUM plus the frame count. A trajectory that fits ONE frame block
+    returns the UNFETCHED device array — the sweep fast path, letting
+    many trajectories' results batch into a single synchronizing
+    transfer (each fetch through the axon tunnel costs ~0.25 s
+    regardless of size). Longer trajectories accumulate block sums into
+    a HOST float64 total exactly like ``_run_stream`` — bit-identical
+    cross-block precision to the entry points, and the per-block fetch
+    bounds in-flight device buffers regardless of trajectory length."""
+    total_host = None
+    pending = None
     T = 0
     for pos_b, pc_b, len_b in blocks:
         with stage("frame_block", start=T, frames=pos_b.shape[0]):
@@ -310,11 +314,17 @@ def _accumulate_stream_device(run_block, blocks, dtype, n_pad_to=1):
             pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
             cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),
                             jnp.asarray(w, dtype))
-            total = cur if total is None else total + cur
+            if pending is not None:
+                fetched = np.asarray(pending, np.float64)
+                total_host = fetched if total_host is None \
+                    else total_host + fetched
+            pending = cur
             T += nb
     if T == 0:
         raise ValueError("no frames to average")
-    return total, T
+    if total_host is None:
+        return pending, T  # single block: still on device, unfetched
+    return total_host + np.asarray(pending, np.float64), T
 
 
 def _run_stream(run_block, out_shape, blocks, dtype, n_pad_to=1):

@@ -245,6 +245,10 @@ class Conductivity:
         if plot:
             self._plot(tot_flux, integral, time_range)
         if save:
+            # PARITY-PINNED TRANSLITERATION (conductivity.py:376-396): the
+            # CSV trio's file names, column headers, row layout and the
+            # "1,2,...,tot" naming ARE the output contract downstream
+            # tooling reads — kept structurally identical on purpose.
             charge_flux = np.append(np.array([self.time]), tot_flux, axis=0)
             integral_out = np.append(np.array([self.time]), integral, axis=0)
             start_time = [i[0] for i in time_range]
@@ -264,6 +268,11 @@ class Conductivity:
         return cond
 
     def _plot(self, tot_flux, integral, time_range):
+        """PARITY-PINNED TRANSLITERATION (``conductivity.py:304-374``):
+        the figure layout, colors, labels and the marked integration
+        window mirror the reference plot so users comparing outputs
+        side-by-side see the same artifact; only the rendering backend
+        (Agg) and helper imports differ."""
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt

@@ -91,10 +91,19 @@ class Diffusion:
         avg_interval=False,
         tao_coeff=4,
         precision="strict",
+        msd_all_path=None,
     ):
         """MSD vs time from dumps; see the reference docstring
         (``diffusion.py:112-170``) for semantics. Returns (msd, msd_all)
         or (msd, msd_all, msd_int) DataFrames with the reference layouts.
+
+        ``msd_all_path`` (beyond-reference, for long allatom runs): when
+        set, the O(T x N)-row msd_all table is APPENDED to this CSV in
+        block-sized chunks as frames stream instead of being
+        materialized, and the returned ``msd_all`` is the path string.
+        With it, the ``allatom`` path runs in O(block x N) host memory
+        for any trajectory length (``msd``/``msd_int`` are streaming
+        reductions either way).
         """
         dtype = resolve_dtype(precision)
         wanted = ["id", "type", "x", "y", "z", "xu", "yu", "zu", "ix", "iy",
@@ -103,15 +112,24 @@ class Diffusion:
         available = peek_dump_columns(pattern)
         if msd_type not in ("allatom", "com"):
             raise ValueError("msd_type must be 'allatom' or 'com'.")
+        if msd_all_path is not None and msd_type != "allatom":
+            raise ValueError(
+                "msd_all_path streams the allatom per-atom table; the "
+                "com path's msd_all is O(T x M) and always in memory")
 
         # Streamed ingestion: the (T, N, 3) unwrapped block is reduced
         # per block — for msd_type="com" to (T, M, 3) molecular COMs
-        # (host memory O(block x N) + O(T x M)); "allatom" necessarily
-        # keeps (T, N, 3) because msd_all is a per-atom per-frame output
-        # (the reference's semantics, diffusion.py:207-218).
+        # (host memory O(block x N) + O(T x M)); "allatom" accumulates
+        # every output as a per-block streaming reduction against frame
+        # 0 (displacements, per-frame means, msd_int running sums, and
+        # the msd_all rows either appended to ``msd_all_path`` or
+        # collected in memory when the DataFrame was asked for).
         coords_parts, ts_parts = [], []
         ids = masses = None
         system = None
+        dist = constants.DISTANCE_CONVERSION[self.units]
+        # allatom streaming state
+        aa = None
         for blk in iter_trajectory_blocks(
             pattern, columns=[c for c in wanted if c in available]
         ):
@@ -138,13 +156,13 @@ class Diffusion:
                     system.n_molecules,
                 )
                 coords_parts.append(np.asarray(com_b, np.float64))
+                ts_parts.append(blk.timesteps)
             else:
-                coords_parts.append(xu_b)
-            ts_parts.append(blk.timesteps)
+                aa = self._allatom_stream_block(
+                    aa, xu_b * dist, blk.timesteps, ids, tao_coeff,
+                    msd_all_path)
+                ts_parts.append(blk.timesteps)
 
-        dist = constants.DISTANCE_CONVERSION[self.units]
-        coords = np.concatenate(coords_parts) * dist  # SI
-        T, N = coords.shape[0], ids.shape[0]
         time_s = (
             np.concatenate(ts_parts).astype(np.float64)
             * self.timestep
@@ -152,19 +170,23 @@ class Diffusion:
         )
 
         if msd_type == "allatom":
-            id_cols = {"id": ids}
-        else:
-            mol_types = system.mol_type_of_molecule  # (M,) 1-based
-            mol_ids = np.concatenate(
-                [np.arange(1, n + 1) for n in system.num_mols]
-            )
-            # molecular mass in SI, used for drift weighting
-            mol_mass = np.zeros(system.n_molecules)
-            np.add.at(mol_mass, system.mol_index, masses)
-            mol_mass = mol_mass * constants.MASS_CONVERSION[self.units]
-            id_cols = {"type": mol_types, "mol_id": mol_ids}
+            return self._allatom_finalize(aa, time_s, ids, avg_interval,
+                                          msd_all_path)
 
-        if msd_type == "com" and com_drift:
+        coords = np.concatenate(coords_parts) * dist  # SI
+        T = coords.shape[0]
+
+        mol_types = system.mol_type_of_molecule  # (M,) 1-based
+        mol_ids = np.concatenate(
+            [np.arange(1, n + 1) for n in system.num_mols]
+        )
+        # molecular mass in SI, used for drift weighting
+        mol_mass = np.zeros(system.n_molecules)
+        np.add.at(mol_mass, system.mol_index, masses)
+        mol_mass = mol_mass * constants.MASS_CONVERSION[self.units]
+        id_cols = {"type": mol_types, "mol_id": mol_ids}
+
+        if com_drift:
             # subtract per-type mass-weighted COM drift vs t=0
             # (diffusion.py:91-96)
             n_types = int(mol_types.max())
@@ -181,52 +203,34 @@ class Diffusion:
         msd_vals = disp2.sum(axis=2)  # (T, M)
 
         # ---- msd_all: per-entity rows, reference row order --------------
-        if msd_type == "allatom":
-            order = np.argsort(ids, kind="stable")
-            rows = {
-                "Time (s)": np.repeat(time_s, N),
-                "id": np.tile(ids[order], T).astype(np.float64),
-            }
-            d_sorted = disp2[:, order, :]
-            m_sorted = msd_vals[:, order]
-        else:
-            # sort by (type, mol_id) — already in that order
-            rows = {
-                "Time (s)": np.repeat(time_s, coords.shape[1]),
-                "type": np.tile(mol_types, T).astype(np.int64),
-                "mol_id": np.tile(mol_ids, T).astype(np.int64),
-            }
-            d_sorted = disp2
-            m_sorted = msd_vals
+        # sort by (type, mol_id) — already in that order
+        rows = {
+            "Time (s)": np.repeat(time_s, coords.shape[1]),
+            "type": np.tile(mol_types, T).astype(np.int64),
+            "mol_id": np.tile(mol_ids, T).astype(np.int64),
+        }
         for a, c in enumerate(DISPS):
-            rows[c] = d_sorted[:, :, a].reshape(-1)
-        rows["msd"] = m_sorted.reshape(-1)
+            rows[c] = disp2[:, :, a].reshape(-1)
+        rows["msd"] = msd_vals.reshape(-1)
         msd_all = pd.DataFrame(rows)
 
         # ---- msd: averaged over entities ---------------------------------
-        if msd_type == "allatom":
-            data = {"Time (s)": time_s}
+        # pivoted per-type columns: dx2{k} dy2{k} dz2{k} msd{k}
+        # sorted by type then column name (diffusion.py:220-222)
+        n_types = int(mol_types.max())
+        data = {}
+        for k in range(1, n_types + 1):
+            sel = mol_types == k
             for a, c in enumerate(DISPS):
-                data[c] = disp2[:, :, a].mean(axis=1)
-            data["msd"] = msd_vals.mean(axis=1)
-            msd = pd.DataFrame(data)
-        else:
-            # pivoted per-type columns: dx2{k} dy2{k} dz2{k} msd{k}
-            # sorted by type then column name (diffusion.py:220-222)
-            n_types = int(mol_types.max())
-            data = {}
-            for k in range(1, n_types + 1):
-                sel = mol_types == k
-                for a, c in enumerate(DISPS):
-                    data[f"{c}{k}"] = disp2[:, sel, a].mean(axis=1)
-                data[f"msd{k}"] = msd_vals[:, sel].mean(axis=1)
-            cols_sorted = [
-                f"{c}{k}"
-                for k in range(1, n_types + 1)
-                for c in sorted(DISPS + ["msd"])
-            ]
-            msd = pd.DataFrame({"Time (s)": time_s, **{c: data[c]
-                                                       for c in cols_sorted}})
+                data[f"{c}{k}"] = disp2[:, sel, a].mean(axis=1)
+            data[f"msd{k}"] = msd_vals[:, sel].mean(axis=1)
+        cols_sorted = [
+            f"{c}{k}"
+            for k in range(1, n_types + 1)
+            for c in sorted(DISPS + ["msd"])
+        ]
+        msd = pd.DataFrame({"Time (s)": time_s, **{c: data[c]
+                                                   for c in cols_sorted}})
 
         if not avg_interval:
             return msd, msd_all
@@ -252,6 +256,101 @@ class Diffusion:
         data["msd"] = msd_mean
         msd_int = pd.DataFrame(data)
         return msd, msd_all, msd_int
+
+    # -- streaming allatom reduction (O(block x N) host memory) ------------
+    def _allatom_stream_block(self, aa, xu_b, timesteps_b, ids, tao_coeff,
+                              msd_all_path):
+        """Fold one (block, N, 3) SI-coordinate block into the running
+        allatom state ``aa``: per-frame means for ``msd``, msd_all rows
+        (appended to ``msd_all_path`` or collected), and the msd_int
+        running sums. Operation-for-operation identical to the previous
+        whole-trajectory math (each frame's row only depends on that
+        frame and frame 0), so results are bit-equal to the in-memory
+        path (pinned by tests)."""
+        if aa is None:
+            aa = {
+                "x0": xu_b[0].copy(),
+                "order": np.argsort(ids, kind="stable"),
+                "t": 0,
+                "mean_parts": [],
+                "all_parts": [] if msd_all_path is None else None,
+                "wrote_header": False,
+                "prev_sample": None,
+                "n_samples": 0,
+                "sum_dd": np.zeros_like(xu_b[0]),
+            }
+        disp2 = (xu_b - aa["x0"][None]) ** 2  # (block, N, 3)
+        msd_vals = disp2.sum(axis=2)  # (block, N)
+        nb, N = msd_vals.shape
+        aa["mean_parts"].append(np.concatenate(
+            [disp2.mean(axis=1), msd_vals.mean(axis=1)[:, None]], axis=1))
+
+        # msd_all rows: frame-major, id ascending (diffusion.py:207-218)
+        time_b = (timesteps_b.astype(np.float64) * self.timestep
+                  * constants.TIME_CONVERSION[self.units])
+        order = aa["order"]
+        rows = {
+            "Time (s)": np.repeat(time_b, N),
+            "id": np.tile(ids[order], nb).astype(np.float64),
+        }
+        d_sorted = disp2[:, order, :]
+        for a, c in enumerate(DISPS):
+            rows[c] = d_sorted[:, :, a].reshape(-1)
+        rows["msd"] = msd_vals[:, order].reshape(-1)
+        df_b = pd.DataFrame(rows)
+        if msd_all_path is None:
+            aa["all_parts"].append(df_b)
+        else:
+            df_b.to_csv(msd_all_path,
+                        mode="a" if aa["wrote_header"] else "w",
+                        header=not aa["wrote_header"], index=False)
+            aa["wrote_header"] = True
+
+        # msd_int running sums: samples at global frames 0, tao, 2tao, ...
+        for j in range(nb):
+            if (aa["t"] + j) % tao_coeff == 0:
+                cs = xu_b[j]
+                if aa["prev_sample"] is not None:
+                    dd = (cs - aa["prev_sample"]) ** 2
+                    aa["sum_dd"] += dd
+                    # per-sample msd summed over axes BEFORE the sample
+                    # sum (the reference's association order)
+                    aa.setdefault("sum_msd", np.zeros(N))
+                    aa["sum_msd"] += dd.sum(axis=1)
+                aa["prev_sample"] = cs.copy()
+                aa["n_samples"] += 1
+        aa["t"] += nb
+        return aa
+
+    def _allatom_finalize(self, aa, time_s, ids, avg_interval,
+                          msd_all_path):
+        means = np.concatenate(aa["mean_parts"])  # (T, 4)
+        msd = pd.DataFrame({
+            "Time (s)": time_s,
+            **{c: means[:, a] for a, c in enumerate(DISPS)},
+            "msd": means[:, 3],
+        })
+        if msd_all_path is None:
+            msd_all = pd.concat(aa["all_parts"], ignore_index=True)
+        else:
+            msd_all = msd_all_path
+        if not avg_interval:
+            return msd, msd_all
+        # msd_int semantics (diffusion.py:225-238): the t=0 sample row is
+        # NaN; per-axis means skip it (mean over S-1 diffs), the
+        # per-sample msd sums it to 0 and that 0 IS included (/S)
+        S = aa["n_samples"]
+        if S > 1:
+            axis_mean = aa["sum_dd"] / (S - 1)
+        else:
+            axis_mean = np.full_like(aa["sum_dd"], np.nan)
+        msd_mean = aa.get("sum_msd",
+                          np.zeros(aa["sum_dd"].shape[0])) / S
+        data = {"id": ids.astype(np.float64)}
+        for a, c in enumerate(DISPS):
+            data[c] = axis_mean[:, a]
+        data["msd"] = msd_mean
+        return msd, msd_all, pd.DataFrame(data)
 
     def get_msd_from_log(self, log_pattern):
         """MSD columns from LAMMPS thermo logs, converted to SI
@@ -291,6 +390,12 @@ class Diffusion:
             if len(lt) < max(min_points, 3):
                 raise ValueError(
                     f"not enough positive MSD samples for {c!r}")
+            if np.any(np.diff(lt) <= 0):
+                raise ValueError(
+                    "MSD 'Time (s)' values must be strictly increasing; "
+                    "repeated or out-of-order timestamps would produce "
+                    "divide-by-zero log-log slopes"
+                )
             beta = np.gradient(ly, lt)
             good = np.abs(beta - 1.0) <= tol
             best = (0, 0)
@@ -356,6 +461,11 @@ class Diffusion:
         return diffusion
 
     def _plot_msd(self, msd, msd_col_names, models, windows, labels):
+        """PARITY-PINNED TRANSLITERATION (``diffusion.py:344-408``): the
+        msd.png / msd_log.png figure structure, Paired colormap, fit
+        overlays and log-log guide line mirror the reference so outputs
+        are visually comparable artifact-for-artifact; only the Agg
+        backend and odd-panel cleanup differ."""
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -415,6 +525,9 @@ class Diffusion:
         msd_int = msd_int.copy()
         msd_int["diff"] = msd_int["msd"] / (2 * dimension * tao_coeff * delta)
         if plot:
+            # PARITY-PINNED TRANSLITERATION (diffusion.py:445-516): the
+            # per-type seaborn histogram grid (bins="sqrt", kde, density)
+            # and diff_dist.png naming mirror the reference artifact.
             import matplotlib
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt

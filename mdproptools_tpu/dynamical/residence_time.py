@@ -39,6 +39,70 @@ from mdproptools_tpu.ops import pairs as pair_ops
 from mdproptools_tpu.ops.precision import resolve_dtype
 
 
+# Per-relation cap on in-memory h-matrix bytes before the boolean shell
+# matrices spill to a disk-backed memmap (the survival ACF fundamentally
+# needs every frame's h-matrix; spilling bounds HOST memory at
+# O(block x N) + O(acf_chunk x T) for any trajectory length). Tests
+# monkeypatch this to force the spill path.
+H_SPILL_BYTES = 512 * 2**20
+
+
+class _SpillStore:
+    """Accumulates (block, Na, Nb) bool h-matrix blocks; stays in memory
+    until ``cap_bytes``, then transparently spills everything to a temp
+    file consumed as a read-only memmap (bit-identical contents)."""
+
+    def __init__(self, cap_bytes):
+        self.cap = cap_bytes
+        self.parts: list = []
+        self.nbytes = 0
+        self.fh = None
+        self.path = None
+        self.inner_shape = None
+        self.T = 0
+
+    def append(self, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.bool_)
+        self.T += arr.shape[0]
+        self.inner_shape = arr.shape[1:]
+        if self.fh is None and self.nbytes + arr.nbytes > self.cap:
+            import tempfile
+
+            fd, self.path = tempfile.mkstemp(prefix="mdpt_hmat_",
+                                             suffix=".bin")
+            self.fh = os.fdopen(fd, "wb")
+            for p in self.parts:
+                self.fh.write(p.tobytes())
+            self.parts = []
+            self.nbytes = 0
+        if self.fh is not None:
+            self.fh.write(arr.tobytes())
+        else:
+            self.parts.append(arr)
+            self.nbytes += arr.nbytes
+
+    def finalize(self):
+        """(T, Na, Nb) bool ndarray (in-memory) or read-only memmap."""
+        if self.fh is not None:
+            self.fh.flush()
+            self.fh.close()
+            self.fh = None
+            return np.memmap(self.path, dtype=np.bool_, mode="r",
+                             shape=(self.T, *self.inner_shape))
+        return np.concatenate(self.parts)
+
+    def cleanup(self):
+        if self.fh is not None:
+            self.fh.close()
+            self.fh = None
+        if self.path is not None:
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+            self.path = None
+
+
 def find_intersection(a, b):
     """Sum of ``b[i, j]`` over the index pairs in ``a`` — a working
     version of the reference's dead njit helper
@@ -95,8 +159,10 @@ class ResidenceTime:
         dtype = resolve_dtype(self.precision)
         # Streamed ingestion: the (T, N, 3) positions are reduced per
         # block to the boolean shell matrices (T, Na, Nb) per relation —
-        # the minimum the survival ACF fundamentally needs — so host
-        # memory stays O(block x N) + O(T x Na x Nb) bools.
+        # the minimum the survival ACF fundamentally needs. Each
+        # relation's matrices accumulate in a _SpillStore: in memory up
+        # to H_SPILL_BYTES, then on disk as a memmap, so HOST memory is
+        # O(block x N) + O(acf_chunk x T) for any trajectory length.
         h_fns = None
         h_parts: list = []
         ts_parts = []
@@ -138,7 +204,7 @@ class ResidenceTime:
 
                     h_fns.append(h_fn)
                     rel_meta.append((k, l, atom_pair, sel_k, sel_l))
-                    h_parts.append([])
+                    h_parts.append(_SpillStore(H_SPILL_BYTES))
             pos_b = jnp.asarray(blk.cols(["x", "y", "z"]), dtype)
             len_b = jnp.asarray(blk.box_lengths, dtype)
             for kl, fn in enumerate(h_fns):
@@ -148,27 +214,35 @@ class ResidenceTime:
         timesteps = np.concatenate(ts_parts)
         T = timesteps.shape[0]
         correlation = {"Time (ps)": timesteps.astype(np.float64) * self.dt}
-        for kl, (k, l, atom_pair, sel_k, sel_l) in enumerate(rel_meta):
-            h = jnp.asarray(np.concatenate(h_parts[kl]), dtype)
-            if k == l:
-                # mask self pairs: same position index within the type
-                eye = np.equal.outer(sel_k, sel_l)
-                h = h * jnp.asarray(~eye, dtype)[None]
-            # batched ACF over all (central atom, partner) columns, in
-            # bounded chunks so the zero-padded complex FFT never
-            # materializes more than ~chunk x 2T at once
-            cols = h.reshape(T, -1).T  # (Na*Nb, T)
-            n_cols = cols.shape[0]
-            chunk = max(1, 8_388_608 // (2 * T))  # ~8M elements per FFT
-            cov_sum = np.zeros(T, np.float64)
-            for s in range(0, n_cols, chunk):
-                block = cols[s:s + chunk]
-                cov_sum += np.asarray(
-                    acf_ops.autocorrelate(block), np.float64
-                ).sum(axis=0)
-            corr_array = cov_sum / n_cols
-            corr_array = corr_array / corr_array[0]
-            correlation[atom_pair] = corr_array
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        try:
+            for kl, (k, l, atom_pair, sel_k, sel_l) in enumerate(rel_meta):
+                h_src = h_parts[kl].finalize()  # (T, Na, Nb) ndarray|memmap
+                flat = h_src.reshape(T, -1)  # column index = i * Nb + j
+                eye_flat = (np.equal.outer(sel_k, sel_l).reshape(-1)
+                            if k == l else None)
+                # batched ACF over all (central atom, partner) columns,
+                # in bounded chunks so the zero-padded complex FFT never
+                # materializes more than ~chunk x 2T at once; each chunk
+                # is read from the (possibly disk-backed) source and the
+                # self-pair columns zeroed (residence_time.py:103-104)
+                n_cols = flat.shape[1]
+                chunk = max(1, 8_388_608 // (2 * T))  # ~8M elems per FFT
+                cov_sum = np.zeros(T, np.float64)
+                for s in range(0, n_cols, chunk):
+                    sub = np.ascontiguousarray(
+                        flat[:, s:s + chunk].T).astype(np_dtype)
+                    if eye_flat is not None:
+                        sub *= ~eye_flat[s:s + chunk, None]
+                    cov_sum += np.asarray(
+                        acf_ops.autocorrelate(jnp.asarray(sub)), np.float64
+                    ).sum(axis=0)
+                corr_array = cov_sum / n_cols
+                corr_array = corr_array / corr_array[0]
+                correlation[atom_pair] = corr_array
+        finally:
+            for store in h_parts:
+                store.cleanup()
 
         self.corr_df = pd.DataFrame.from_dict(correlation)
         self.corr_df.to_csv(self.working_dir + "/auto_correlation.csv")

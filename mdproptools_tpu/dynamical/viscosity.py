@@ -158,11 +158,16 @@ class Viscosity:
         t_fit = self.time[idx_start_time:idx_cut_time]
         v_fit = visc[idx_start_time:idx_cut_time]
         s_fit = std[idx_start_time:idx_cut_time]
+        # Divergence from the reference (viscosity.py:292): sigma=1/std**0.5
+        # with any zero std (single replicate, or identical replicates in a
+        # window) produces inf weights and a curve_fit failure. Fall back to
+        # an unweighted fit in that case; the reference shares the bug.
+        sigma = 1 / s_fit**0.5 if np.all(s_fit > 0) else None
         popt2, _ = optimize.curve_fit(
             self.exp_func,
             t_fit,
             v_fit,
-            sigma=1 / s_fit**0.5,
+            sigma=sigma,
             bounds=(0, [max(v_fit), 1, 5 * self.time[min(idx_cut_time,
                                                          len(self.time) - 1)],
                         5 * self.time[min(idx_cut_time,

@@ -28,17 +28,18 @@ def _load():
     if not os.path.exists(path) or stale:
         # On-demand (re)build (toolchain present in dev envs), made
         # atomic for concurrent importers (parallel test workers):
-        # compile to a temp name, then os.replace over the target —
-        # a concurrent dlopen sees either the old or the new library,
-        # never a half-written file. A failed build keeps the old .so
-        # (missing new symbols degrade gracefully via hasattr guards).
+        # build to a temp name via the Makefile (the single source of
+        # compiler/flags — `make -C native` and this path cannot drift),
+        # then os.replace over the target — a concurrent dlopen sees
+        # either the old or the new library, never a half-written file.
+        # A failed build keeps the old .so (missing new symbols degrade
+        # gracefully via hasattr guards).
         tmp = f"{path}.build.{os.getpid()}"
         try:
             import subprocess
 
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
-                 "-shared", "-o", tmp, src],
+                ["make", "-C", src_dir, "-B", f"TARGET={os.path.abspath(tmp)}"],
                 check=True,
                 capture_output=True,
                 timeout=120,

@@ -210,6 +210,13 @@ def parse_frames_from_text(
         next_item = text.find("ITEM: TIMESTEP", body_start)
         body_end = next_item if next_item != -1 else n
         body = text[body_start:body_end]
+        if columns_filter is not None:
+            missing = [c for c in columns_filter if c not in columns]
+            if missing:
+                raise ValueError(
+                    f"columns_filter names {missing} not present in this "
+                    f"dump's ATOMS columns {columns}"
+                )
         str_idx = _sniff_str_columns(body, columns)
         if str_idx:
             num_columns, data, str_data = _parse_mixed_body(

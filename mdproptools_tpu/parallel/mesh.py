@@ -255,6 +255,85 @@ def sharded_rdf_relations(
     return (full if with_full else None), rels
 
 
+def make_sharded_relations_runner(
+    codes0,  # (N,) 0-based type codes (frame-invariant)
+    relations0,  # (R, 2) 0-based relations (distinct pairs)
+    n_atoms: int,
+    bin_size: float,
+    n_bins: int,
+    r_cut: float,
+    mesh: Mesh,
+    with_full: bool,
+    normalize,  # (full, rels, L) -> (nrows, n_bins) per-frame rows
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Jitted, reusable frame+row-sharded RDF block runner for the entry
+    points: ``run(pos_b (T, N, 3), lengths_b (T, 3), w_b (T,)) ->
+    (nrows, n_bins)`` — the weighted SUM over the block's frames of the
+    per-frame NORMALIZED rows, reduced over both mesh axes and
+    replicated (same contract as ``rdf_cn._make_block_runner``, so
+    ``rdf_cn._rdf_mean`` streams blocks through it unchanged).
+
+    Same kernel/sharding as :func:`sharded_rdf_relations` (global ORB
+    sort per frame, cyclic-half triangle row slices, tile cull + column
+    compaction), but per-frame normalization happens INSIDE the scan —
+    valid under sharding because the normalization is linear in the
+    counts, so normalize-then-psum equals psum-then-normalize. Padded
+    frames carry weight 0. Self case, exclude_self=True only (the
+    sharded triangle rule requires it)."""
+    from mdproptools_tpu.ops.pairs_pallas import pair_hist_relations_pallas
+
+    n_frames_axis, n_atoms_axis = mesh.devices.shape
+    n_chunks = -(-n_atoms // pair_ops.LANE)
+    n_chunks_p = n_chunks + ((-n_chunks) % n_atoms_axis)
+    n_pad = n_chunks_p * pair_ops.LANE
+    chunks_per_shard = n_chunks_p // n_atoms_axis
+    codes0_f = jnp.asarray(np.asarray(codes0), jnp.float32)
+    relations0 = np.asarray(relations0, np.int64)
+    n_rel = int(relations0.shape[0])
+    nrows_out = n_rel + (1 if with_full else 0)
+
+    in_specs = (P("frames", None, None), P("frames", None), P("frames"))
+    out_specs = P()
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+             check_vma=False)
+    def run(pos_local, len_local, w_local):
+        a_idx = jax.lax.axis_index("atoms")
+        start = a_idx * chunks_per_shard * pair_ops.LANE
+        row_tiles = (a_idx * chunks_per_shard
+                     + jnp.arange(chunks_per_shard, dtype=jnp.int32))
+
+        def frame_step(acc, xs):
+            p, L, w = xs
+            pr, pm, ty = pair_ops.orb_sorted_side(
+                p.astype(jnp.float32), n_atoms, n_pad, L, codes0_f)
+            rows = jax.lax.dynamic_slice_in_dim(
+                pr, start, chunks_per_shard * pair_ops.LANE, axis=0)
+            idxr = jax.lax.dynamic_slice_in_dim(
+                pm, start, chunks_per_shard * pair_ops.LANE, axis=0)
+            tyr = jax.lax.dynamic_slice_in_dim(
+                ty, start, chunks_per_shard * pair_ops.LANE, axis=0)
+            full, rels = pair_hist_relations_pallas(
+                rows, idxr, tyr, pr, pm, ty, relations0, L, bin_size,
+                n_bins, r_cut, exclude_self=True, with_full=with_full,
+                triangle=True, row_tiles=row_tiles, interpret=interpret)
+            return acc + w * normalize(full, rels, L), None
+
+        acc0 = jnp.zeros((nrows_out, n_bins), jnp.float32)
+        acc0 = acc0 + (pos_local[0, 0, 0] * 0).astype(acc0.dtype)
+        acc, _ = jax.lax.scan(
+            frame_step, acc0,
+            (pos_local.astype(dtype), len_local, w_local))
+        for ax in ("atoms", "frames"):
+            acc = jax.lax.psum(acc, ax)
+        return acc
+
+    return run
+
+
 def sharded_msd_per_type(coords, ref_coords, type_index, n_types, mesh):
     """Per-type MSD vs a replicated reference frame, frames sharded.
     coords: (T, M, 3); returns (T, n_types) (sharded over frames)."""

@@ -68,7 +68,12 @@ def sweep_rdf(
         num_bins, float(r_cut), relation_matrix, code_counts, code_counts,
         exclude_self=True, with_full=True, dtype=dtype,
     )
-    run_block = rdf_cn._make_block_runner(step, (nrows, num_bins), dtype)
+    # the sweep's ONE block program frame-shards over the active/auto
+    # mesh (pod slices sweep data-parallel; None on a single chip)
+    mesh = rdf_cn._auto_frames_mesh()
+    run_block = rdf_cn._make_block_runner(step, (nrows, num_bins), dtype,
+                                          mesh=mesh)
+    n_pad_to = 1 if mesh is None else mesh.size
 
     def traj_blocks(f):
         def gen():
@@ -109,7 +114,7 @@ def sweep_rdf(
     for name, f in zip(labels, filenames):
         with stage("sweep_rdf", trajectory=name):
             tot, T = rdf_cn._accumulate_stream_device(
-                run_block, traj_blocks(f), dtype)
+                run_block, traj_blocks(f), dtype, n_pad_to=n_pad_to)
             if not isinstance(tot, np.ndarray):
                 pending.append(len(totals))
             totals.append(tot)

@@ -221,6 +221,13 @@ def get_unique_configurations(
             [coord_mols[k]["sites"] for k in coord_mols]
         )
 
+    # PARITY-PINNED TRANSLITERATION (cluster_analysis.py:380-456): from
+    # here down, the "2O:1O"-style config-string encoding, the
+    # num_*/atoms_* column naming, the groupby-count/percent layout of
+    # configurations.csv and the perc|cum_perc top-config selection ARE
+    # the output contract (byte-compared conf_*.xyz + CSV schemas) —
+    # kept structurally equal to the reference's pandas sequence on
+    # purpose.
     # encode per-molecule coordinating-atom multiset strings, e.g. "2O:1O"
     # (first character of each species string; cluster_analysis.py:387-397)
     full_str_coord = []

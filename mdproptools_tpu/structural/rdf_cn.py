@@ -176,9 +176,11 @@ _trace_log: list = []  # appended at block-program trace time (test hook)
 _FORCE_FRAMES_MESH = None  # test hook: force a mesh for _scan_frame_mean
 
 # test hook: force the kernel-dispatch policy ("rel" | "type-block" |
-# None = auto). On the CPU backend forcing also runs the Pallas kernels
-# in interpreter mode, so the production dispatch branches (sorted
-# sides, projection, normalization wiring) are testable without a TPU.
+# "auto" = enable the TPU dispatch logic without forcing a branch |
+# None = production auto). On the CPU backend any non-None value also
+# runs the Pallas kernels in interpreter mode, so the production
+# dispatch branches (sorted sides, projection, normalization wiring,
+# per-block policy switching) are testable without a TPU.
 _FORCE_KERNEL = None
 
 # Step/runner program cache: every `_rdf_mean`/`_cn_mean` call used to
@@ -211,20 +213,74 @@ def _mesh_key(mesh):
             tuple(d.id for d in mesh.devices.flat))
 
 
-def _auto_frames_mesh():
-    """A ("frames",)-axis mesh over all devices when more than one REAL
-    accelerator is attached (a TPU pod slice), else None. Entry points
-    then frame-shard transparently; on the CPU test backend this stays
-    off so float64 oracle results keep their exact summation order
-    (_FORCE_FRAMES_MESH overrides for the dedicated sharding test)."""
+_ACTIVE_MESH = None  # set via set_mesh(): user-pinned device mesh
+
+
+def set_mesh(mesh):
+    """Pin the device mesh every rdf_cn entry point runs on (product
+    surface for pod slices). Accepts None (restore auto), a 1-axis
+    ("frames",) mesh, or a 2-axis ("frames", "atoms") mesh — with an
+    atoms axis, ``calc_atomic_rdf`` routes its large-N fast path through
+    the row-sharded relation kernel (``parallel.sharded_rdf_relations``
+    semantics) and every other path frame-shards over the flattened
+    devices. Results are exact either way (integer pair counts;
+    normalization is linear, so psum order cannot change them)."""
+    global _ACTIVE_MESH
+    if mesh is not None and tuple(mesh.axis_names) not in (
+            ("frames",), ("frames", "atoms")):
+        raise ValueError(
+            "mesh axes must be ('frames',) or ('frames', 'atoms'), got "
+            f"{mesh.axis_names}")
+    _ACTIVE_MESH = mesh
+
+
+def _auto_mesh(n_atoms=None, n_frames_hint=None):
+    """The device mesh entry points run on: the pinned ``set_mesh``
+    mesh, else (on a real multi-chip backend) an automatic mesh over all
+    devices — frames-only data parallelism when the frame blocks can
+    fill the slice, with the leftover devices moved to an ``atoms``
+    (row-chunk) axis when frames are few and the system is large enough
+    that each row shard keeps >= 32 LANE-chunks of work. On the CPU
+    test backend this stays off so float64 oracle results keep their
+    exact summation order (_FORCE_FRAMES_MESH / set_mesh override for
+    the sharding tests)."""
     if _FORCE_FRAMES_MESH is not None:
         return _FORCE_FRAMES_MESH
+    if _ACTIVE_MESH is not None:
+        return _ACTIVE_MESH
     devs = jax.devices()
-    if len(devs) > 1 and jax.default_backend() not in ("cpu",):
-        from jax.sharding import Mesh
+    if len(devs) <= 1 or jax.default_backend() in ("cpu",):
+        return None
+    from jax.sharding import Mesh
 
+    D = len(devs)
+    atoms_ax = 1
+    if n_atoms is not None and n_frames_hint is not None:
+        n_chunks = -(-int(n_atoms) // pair_ops.LANE)
+        while (atoms_ax * 2 <= D and D % (atoms_ax * 2) == 0
+               and n_chunks // (atoms_ax * 2) >= 32
+               and n_frames_hint <= D // (atoms_ax * 2)):
+            atoms_ax *= 2
+    if atoms_ax == 1:
         return Mesh(np.asarray(devs), axis_names=("frames",))
-    return None
+    return Mesh(np.asarray(devs).reshape(D // atoms_ax, atoms_ax),
+                axis_names=("frames", "atoms"))
+
+
+def _frames_only(mesh):
+    """Collapse any mesh to a 1-axis ("frames",) mesh over the same
+    devices (the generic block runner shards frames only)."""
+    if mesh is None or len(mesh.axis_names) == 1:
+        return mesh
+    from jax.sharding import Mesh
+
+    return Mesh(mesh.devices.reshape(-1), axis_names=("frames",))
+
+
+def _auto_frames_mesh():
+    """Frames-only view of the active/auto mesh (used by the generic
+    ``_scan_frame_mean`` path — CN, molecular RDF, etc.)."""
+    return _frames_only(_auto_mesh())
 
 
 def _make_block_runner(step_fn, out_shape, dtype, mesh=None):
@@ -381,11 +437,84 @@ def _scan_frame_mean(step_fn, out_shape, blocks, dtype, runners=None):
                        n_pad_to=1 if mesh is None else mesh.size)
 
 
+def _rdf_policy(n_atoms, v_min, r_cut, spatial_sort, use_pallas,
+                distinct_rels):
+    """Kernel-dispatch policy for a given box volume: returns
+    (use_rel, sort_on, kept_est).
+
+    Estimated kept tile-pair fraction under a global balanced-ORB sort:
+    128-atom ORB box tiles measure ~0.88 * (LANE/rho)^(1/3) in median
+    radius with a tight tail (max ~1.1x median; Hilbert curve tiles ran
+    ~1.15x in the median with a ~1.8x tail, and one fat tile keeps every
+    tile pair touching it).
+
+    The relation-projected mixed-tile kernel costs ~1.5x per pair for
+    the fused multi-hot insert, but its compact ORB tiles feed three
+    exact work-skippers the type-block kernel can't match (minority-
+    species type blocks are box-sized): the tile cull skips (1 - kept)
+    of tile pairs, culled subtiles are free (popcount-trip walk), and
+    in-kernel column compaction skips the all-invalid columns inside
+    kept tiles. Measured on v5e at 400 bins + 4 partials, rel vs
+    type-block ms/frame: 10.5k atoms 90 vs 72 (kept_est 2.25); 21k
+    167 vs 186 (kept_est 1.12); 42k 338 vs 560 (0.56); 84k 692 vs
+    1679 (0.33). Crossover between 10.5k and 21k -> kept_est 1.2.
+
+    Evaluated PER FRAME BLOCK (NPT boxes drift): `_rdf_mean` regroups
+    blocks by the (use_rel, sort_on) decision so the dispatch follows
+    the density instead of staying pinned to frame 0's volume.
+    """
+    rho = max(n_atoms / v_min, 1e-30)
+    rad = 0.88 * (pair_ops.LANE / rho) ** (1.0 / 3.0)
+    kept_est = 4.0 / 3.0 * np.pi * (r_cut + 2.0 * rad) ** 3 / v_min
+    if spatial_sort == "auto":
+        # per-type-block sort for the type-block kernel only where its
+        # (weak) cull can pay; the rel path sorts unconditionally (its
+        # engage threshold below is the real decision)
+        sort_on = use_pallas and kept_est < 0.85
+        rel_sort_ok = use_pallas
+    else:
+        sort_on = rel_sort_ok = bool(spatial_sort)
+    use_rel = (use_pallas and distinct_rels and rel_sort_ok
+               and kept_est < 1.2)
+    if _FORCE_KERNEL == "rel":  # test hook: drive the rel branch on CPU
+        use_rel = use_pallas and distinct_rels
+    elif _FORCE_KERNEL == "type-block":
+        use_rel = False
+    return bool(use_rel), bool(sort_on), float(kept_est)
+
+
+def _make_normalizer(relation_matrix, code_counts_rows, code_counts_cols,
+                     n_rows_total, with_full, shell):
+    """Reference-exact per-frame normalization (rho_b = count_b / V
+    first, then counts / (N_a * rho_b * Vshell), ``rdf_cn.py:288-329``)
+    shared by the single-device step and the row-sharded runner (it is
+    linear in the counts, so normalize-then-psum == psum-then-
+    normalize)."""
+
+    def normalize(full, rels, L):
+        sdtype = rels.dtype
+        shell_d = jnp.asarray(shell, sdtype)
+        V = L[0] * L[1] * L[2]
+        rows = []
+        if with_full:
+            rho = n_rows_total / V
+            rows.append(full.astype(sdtype)
+                        / (n_rows_total * rho * shell_d))
+        for r, (a, b) in enumerate(relation_matrix):
+            n_a = float(code_counts_rows[int(a) - 1])
+            cnt_b = float(code_counts_cols[int(b) - 1])
+            rho_b = cnt_b / V
+            rows.append(rels[r].astype(sdtype) / (n_a * rho_b * shell_d))
+        return jnp.stack(rows)
+
+    return normalize
+
+
 def _make_rdf_step(
     codes, n_codes, n_atoms_rows, lengths, bin_size, n_bins, r_cut,
     relation_matrix, code_counts_rows, code_counts_cols, exclude_self,
     with_full, dtype, n_atoms_cols=None, codes_cols=None,
-    n_codes_cols=None, spatial_sort="auto",
+    n_codes_cols=None, spatial_sort="auto", policy=None,
 ):
     """Build the per-frame RDF step function once (layouts, kernel and
     sort policy, normalization constants) so the sweep layer can reuse
@@ -422,42 +551,15 @@ def _make_rdf_step(
               else "onehot" if on_tpu and dtype == jnp.float32
               else "scatter")
     triangle = use_pallas and self_case
-    # estimated kept tile-pair fraction under a global balanced-ORB
-    # sort: 128-atom ORB box tiles measure ~0.88 * (LANE/rho)^(1/3) in
-    # median radius with a tight tail (max ~1.1x median; Hilbert curve
-    # tiles ran ~1.15x in the median with a ~1.8x tail, and one fat tile
-    # keeps every tile pair touching it)
-    n_atoms = int(code_counts_rows.sum())
-    v_min = float(np.prod(lengths, axis=1).min())
-    rho = max(n_atoms / v_min, 1e-30)
-    rad = 0.88 * (pair_ops.LANE / rho) ** (1.0 / 3.0)
-    kept_est = 4.0 / 3.0 * np.pi * (r_cut + 2.0 * rad) ** 3 / v_min
-    if spatial_sort == "auto":
-        # per-type-block sort for the type-block kernel only where its
-        # (weak) cull can pay; the rel path sorts unconditionally (its
-        # engage threshold below is the real decision)
-        sort_on = use_pallas and kept_est < 0.85
-        rel_sort_ok = use_pallas
-    else:
-        sort_on = rel_sort_ok = bool(spatial_sort)
-    # the relation-projected mixed-tile kernel costs ~1.5x per pair for
-    # the fused multi-hot insert, but its compact ORB tiles feed three
-    # exact work-skippers the type-block kernel can't match (minority-
-    # species type blocks are box-sized): the tile cull skips (1 - kept)
-    # of tile pairs, culled subtiles are free (popcount-trip walk), and
-    # in-kernel column compaction skips the all-invalid columns inside
-    # kept tiles. Measured on v5e at 400 bins + 4 partials, rel vs
-    # type-block ms/frame: 10.5k atoms 90 vs 72 (kept_est 2.25); 21k
-    # 167 vs 186 (kept_est 1.12); 42k 338 vs 560 (0.56); 84k 692 vs
-    # 1679 (0.33). Crossover between 10.5k and 21k -> kept_est 1.2.
     distinct_rels = (len({(int(a), int(b)) for a, b in relation_matrix})
                      == relation_matrix.shape[0])
-    use_rel = (use_pallas and distinct_rels and rel_sort_ok
-               and kept_est < 1.2)
-    if _FORCE_KERNEL == "rel":  # test hook: drive the rel branch on CPU
-        use_rel = use_pallas and distinct_rels
-    elif _FORCE_KERNEL == "type-block":
-        use_rel = False
+    if policy is None:
+        policy = _rdf_policy(
+            int(code_counts_rows.sum()),
+            float(np.prod(lengths, axis=1).min()), r_cut, spatial_sort,
+            use_pallas, distinct_rels,
+        )[:2]
+    use_rel, sort_on = policy
     ncell = pair_ops.pick_ncell(n_rows_total)
     n_pad_r = -(-n_atoms_rows // pair_ops.LANE) * pair_ops.LANE
     codes0_r = jnp.asarray(np.asarray(codes) - 1, jnp.float32)
@@ -468,7 +570,6 @@ def _make_rdf_step(
 
     def step(p, pc, L):
         sdtype = p.dtype
-        shell_d = jnp.asarray(shell, sdtype)
         if use_rel:
             pr, pm, ty = pair_ops.orb_sorted_side(
                 p.astype(jnp.float32), p.shape[0], n_pad_r, L, codes0_r)
@@ -513,23 +614,16 @@ def _make_rdf_step(
             ).astype(sdtype)
             full, rels = pair_ops.project_relations(
                 hist, relation_matrix, with_full)
-        # reference-exact per-frame normalization (rho_b = count_b / V
-        # first, then counts / (N_a * rho_b * Vshell)) shared by all paths
-        V = L[0] * L[1] * L[2]
-        rows = []
-        if with_full:
-            rho = n_rows_total / V
-            rows.append(full.astype(sdtype)
-                        / (n_rows_total * rho * shell_d))
-        for r, (a, b) in enumerate(relation_matrix):
-            n_a = float(code_counts_rows[int(a) - 1])
-            cnt_b = float(code_counts_cols[int(b) - 1])
-            rho_b = cnt_b / V
-            rows.append(rels[r].astype(sdtype) / (n_a * rho_b * shell_d))
-        return jnp.stack(rows)
+        return normalize(full, rels, L).astype(sdtype)
 
+    normalize = _make_normalizer(relation_matrix, code_counts_rows,
+                                 code_counts_cols, n_rows_total, with_full,
+                                 shell)
     nrows = relation_matrix.shape[0] + (1 if with_full else 0)
     return step, nrows
+
+
+_policy_log: list = []  # (use_rel, sort_on, kept_est) per block (test hook)
 
 
 def _rdf_mean(
@@ -542,14 +636,36 @@ def _rdf_mean(
 
     ``blocks``: optional iterator of (pos_b, pos_cols_b|None, lengths_b)
     host blocks for streaming ingestion (``pos``/``lengths`` then only
-    inform shapes and the kernel policy — pass the first block). When
-    None, ``pos``/``pos_cols``/``lengths`` are full arrays. See
+    inform shapes — pass the first block). When None,
+    ``pos``/``pos_cols``/``lengths`` are full arrays. See
     ``_make_rdf_step`` for the per-frame math and fast-path structure.
+
+    The kernel-dispatch policy (``_rdf_policy``) is re-evaluated from
+    each BLOCK's minimum box volume, so an NPT trajectory whose box
+    drifts re-selects the kernel instead of keeping frame 0's decision;
+    step programs are cached per policy, so a drifting box traces each
+    engaged kernel once. When the active mesh has an ``atoms`` axis and
+    the block policy selects the relation kernel (self case), the block
+    runs through the frame+row-sharded runner
+    (``parallel.mesh.make_sharded_relations_runner``).
     """
-    key = (
+    self_case = pos_cols is None
+    on_tpu = jax.default_backend() not in ("cpu",)
+    interpret = _FORCE_KERNEL is not None and not on_tpu
+    use_pallas = ((on_tpu or interpret)
+                  and dtype == jnp.float32 and n_bins <= 1024)
+    distinct_rels = (len({(int(a), int(b)) for a, b in relation_matrix})
+                     == relation_matrix.shape[0])
+    n_atoms_pol = int(code_counts_rows.sum())
+    nrows_out = relation_matrix.shape[0] + (1 if with_full else 0)
+    out_shape = (nrows_out, n_bins)
+    mesh = _auto_mesh(pos.shape[1], pos.shape[0])
+    mesh_2d = (mesh is not None and len(mesh.axis_names) == 2
+               and mesh.devices.shape[1] > 1)
+
+    base_key = (
         "rdf", np.asarray(codes).tobytes(), int(n_codes),
         int(pos.shape[1]),
-        float(np.prod(np.asarray(lengths), axis=1).min()),
         float(bin_size), int(n_bins), float(r_cut),
         np.asarray(relation_matrix).tobytes(),
         np.asarray(code_counts_rows).tobytes(),
@@ -560,18 +676,96 @@ def _rdf_mean(
         n_codes_cols, str(spatial_sort), _FORCE_KERNEL,
         jax.default_backend(),
     )
-    step, nrows, runners = _step_cache_get(key, lambda: _make_rdf_step(
-        codes, n_codes, pos.shape[1], lengths, bin_size, n_bins, r_cut,
-        relation_matrix, code_counts_rows, code_counts_cols, exclude_self,
-        with_full, dtype,
-        n_atoms_cols=None if pos_cols is None else pos_cols.shape[1],
-        codes_cols=codes_cols, n_codes_cols=n_codes_cols,
-        spatial_sort=spatial_sort,
-    ))
+
+    def runner_for(pol):
+        """(run_block, n_pad_to) for a policy, memoized via _STEP_CACHE."""
+        use_rel = pol[0]
+        step, nrows, runners = _step_cache_get(
+            base_key + pol,
+            lambda: _make_rdf_step(
+                codes, n_codes, pos.shape[1], lengths, bin_size, n_bins,
+                r_cut, relation_matrix, code_counts_rows, code_counts_cols,
+                exclude_self, with_full, dtype,
+                n_atoms_cols=None if pos_cols is None else pos_cols.shape[1],
+                codes_cols=codes_cols, n_codes_cols=n_codes_cols,
+                spatial_sort=spatial_sort, policy=pol,
+            ),
+        )
+        sharded_rel = (mesh_2d and use_rel and self_case and exclude_self
+                       and use_pallas)
+        if sharded_rel:
+            rkey = ("rel-sharded", out_shape, jnp.dtype(dtype).name,
+                    _mesh_key(mesh))
+            run = runners.get(rkey)
+            if run is None:
+                from mdproptools_tpu.parallel.mesh import (
+                    make_sharded_relations_runner,
+                )
+
+                normalize = _make_normalizer(
+                    relation_matrix, code_counts_rows, code_counts_cols,
+                    n_atoms_pol, with_full, _shell_volumes(bin_size, n_bins))
+                inner = make_sharded_relations_runner(
+                    np.asarray(codes) - 1,
+                    np.asarray(relation_matrix, np.int64) - 1,
+                    pos.shape[1], bin_size, n_bins, r_cut, mesh,
+                    with_full, normalize, interpret=interpret)
+
+                def run(pb, pcb, len_b, w_b):
+                    return inner(pb, len_b, w_b)
+
+                runners[rkey] = run
+            return run, mesh.devices.shape[0]
+        fmesh = _frames_only(mesh)
+        rkey = ("frames", out_shape, jnp.dtype(dtype).name,
+                _mesh_key(fmesh))
+        run = runners.get(rkey)
+        if run is None:
+            run = _make_block_runner(step, out_shape, dtype, mesh=fmesh)
+            runners[rkey] = run
+        return run, 1 if fmesh is None else fmesh.size
+
     if blocks is None:
         blocks = _array_blocks(pos, lengths, pos_cols)
-    out = _scan_frame_mean(step, (nrows, n_bins), blocks, dtype,
-                           runners=runners)
+    total = np.zeros(out_shape, np.float64)
+    T = 0
+    pending = None
+    cur_pol = None
+    run_block, n_pad_to = None, 1
+    for pos_b, pc_b, len_b in blocks:
+        v_min_b = float(np.prod(np.asarray(len_b), axis=1).min())
+        use_rel, sort_on, kept_est = _rdf_policy(
+            n_atoms_pol, v_min_b, r_cut, spatial_sort, use_pallas,
+            distinct_rels)
+        pol = (use_rel, sort_on)
+        _policy_log.append((use_rel, sort_on, kept_est))
+        if pol != cur_pol:
+            if cur_pol is not None:
+                from mdproptools_tpu.utilities.tracing import logger
+
+                logger.info(
+                    "rdf kernel policy switched at frame %d: %s -> %s "
+                    "(box volume drift; kept_est=%.2f)",
+                    T, cur_pol, pol, kept_est)
+            run_block, n_pad_to = runner_for(pol)
+            cur_pol = pol
+        with stage("frame_block", start=T, frames=pos_b.shape[0]):
+            nb = pos_b.shape[0]
+            pos_b, pc_b, len_b, w = _pad_block(pos_b, pc_b, len_b,
+                                               n_pad_to)
+            pb = jnp.asarray(pos_b, dtype)
+            pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
+            cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),
+                            jnp.asarray(w, dtype))
+            if pending is not None:
+                total += np.asarray(pending, np.float64)
+            pending = cur
+            T += nb
+    if pending is not None:
+        total += np.asarray(pending, np.float64)
+    if T == 0:
+        raise ValueError("no frames to average")
+    out = total / T
     if with_full:
         return out[0], out[1:]
     return None, out

@@ -15,6 +15,15 @@ from mdproptools_tpu.io.lammps_log import parse_lammps_log
 
 
 def concat_log(log_pattern, step=None, working_dir=None):
+    """Concatenate multi-part LAMMPS logs into one DataFrame.
+
+    PRESERVED REFERENCE QUIRK (``log.py:26-27``): the VALUE of ``step``
+    is ignored — any truthy ``step`` subsamples the concatenated log at
+    a hardcoded stride of 50,000 rows starting at row 1, exactly as the
+    reference does (``full_log.loc[range(1, n, 50000)]``). Pass
+    ``step=None`` (default) to keep every row; do not expect
+    ``step=10`` to mean a stride of 10.
+    """
     working_dir = working_dir or os.getcwd()
     files = glob.glob(f"{working_dir}/{log_pattern}")
     if not files:

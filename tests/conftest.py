@@ -26,6 +26,19 @@ REFERENCE_DATA = "/root/reference/data/mg_tfsi_dme"
 REFERENCE_TESTS = "/root/reference/tests"
 
 
+try:  # pytest-benchmark provides the real `benchmark` fixture (CI dev
+    import pytest_benchmark  # noqa: F401  # extra, mirroring the reference)
+except ImportError:
+    # fallback: call-through fixture so `benchmark(fn, ...)`-style tests
+    # (the reference's test idiom) run unchanged without the plugin
+    @pytest.fixture
+    def benchmark():
+        def run(fn, *args, **kwargs):
+            return fn(*args, **kwargs)
+
+        return run
+
+
 @pytest.fixture(scope="session")
 def mg_tfsi_dme_dir():
     return REFERENCE_DATA

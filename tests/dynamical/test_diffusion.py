@@ -36,11 +36,13 @@ def traj5(five_frame_dir):
     return read_trajectory(f"{five_frame_dir}/dump.nvt.*.dump")
 
 
-def test_msd_allatom_matches_oracle(five_frame_dir, traj5, tmp_path):
+def test_msd_allatom_matches_oracle(five_frame_dir, traj5, tmp_path,
+                                    benchmark):
     d = Diffusion(timestep=1, units="real", outputs_dir=five_frame_dir,
                   diff_dir=str(tmp_path))
-    msd, msd_all, msd_int = d.get_msd_from_dump(
-        "dump.nvt.*.dump", msd_type="allatom", avg_interval=True, tao_coeff=2
+    msd, msd_all, msd_int = benchmark(
+        d.get_msd_from_dump,
+        "dump.nvt.*.dump", msd_type="allatom", avg_interval=True, tao_coeff=2,
     )
     # oracle: unwrapped coords straight off the dump, SI conversion
     xu = traj5.cols(["xu", "yu", "zu"]) * constants.DISTANCE_CONVERSION["real"]
@@ -70,10 +72,49 @@ def test_msd_allatom_matches_oracle(five_frame_dir, traj5, tmp_path):
                                rtol=1e-12)
 
 
-def test_msd_com_matches_oracle(five_frame_dir, traj5, tmp_path):
+def test_msd_allatom_streamed_csv_parity(five_frame_dir, tmp_path,
+                                         monkeypatch):
+    """The O(block)-memory allatom path (msd_all appended to CSV in
+    block chunks, VERDICT r2 item 3) must be BIT-identical to the
+    in-memory path, including across block boundaries (forced 2-frame
+    blocks)."""
+    import functools
+
+    from mdproptools_tpu.dynamical import diffusion as diff_mod
+    from mdproptools_tpu.io.lammps_dump import iter_trajectory_blocks
+
     d = Diffusion(timestep=1, units="real", outputs_dir=five_frame_dir,
                   diff_dir=str(tmp_path))
-    msd, msd_all = d.get_msd_from_dump(
+    msd_mem, all_mem, int_mem = d.get_msd_from_dump(
+        "dump.nvt.*.dump", msd_type="allatom", avg_interval=True,
+        tao_coeff=2)
+    # force multi-block streaming (5 frames -> 3 blocks of <= 2)
+    monkeypatch.setattr(
+        diff_mod, "iter_trajectory_blocks",
+        functools.partial(iter_trajectory_blocks, block_frames=2))
+    out_csv = str(tmp_path / "msd_all_stream.csv")
+    msd_st, all_path, int_st = d.get_msd_from_dump(
+        "dump.nvt.*.dump", msd_type="allatom", avg_interval=True,
+        tao_coeff=2, msd_all_path=out_csv)
+    assert all_path == out_csv
+    pd.testing.assert_frame_equal(msd_st, msd_mem)
+    pd.testing.assert_frame_equal(int_st, int_mem)
+    streamed = pd.read_csv(out_csv)
+    np.testing.assert_allclose(streamed.to_numpy(), all_mem.to_numpy(),
+                               rtol=1e-12, atol=0)
+    assert list(streamed.columns) == list(all_mem.columns)
+    # com path rejects the kwarg (its msd_all is O(T x M), in memory)
+    with pytest.raises(ValueError, match="msd_all_path"):
+        d.get_msd_from_dump("dump.nvt.*.dump", msd_type="com",
+                            num_mols=NUM_MOLS, num_atoms_per_mol=NUM_APM,
+                            mass=MASS, msd_all_path=out_csv)
+
+
+def test_msd_com_matches_oracle(five_frame_dir, traj5, tmp_path, benchmark):
+    d = Diffusion(timestep=1, units="real", outputs_dir=five_frame_dir,
+                  diff_dir=str(tmp_path))
+    msd, msd_all = benchmark(
+        d.get_msd_from_dump,
         "dump.nvt.*.dump", msd_type="com", num_mols=NUM_MOLS,
         num_atoms_per_mol=NUM_APM, mass=MASS, com_drift=True,
     )

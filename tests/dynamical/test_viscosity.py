@@ -80,6 +80,21 @@ def test_fit_avg_visc_recovers_double_exp(tmp_path):
     assert (tmp_path / "viscosity.png").exists()
 
 
+def test_fit_avg_visc_single_replicate_zero_std(tmp_path):
+    """A single replicate has std==0 everywhere; the fit must fall back to
+    unweighted instead of producing inf sigma weights (divergence from the
+    reference, which crashes — viscosity.py:292)."""
+    A, alpha, tau1, tau2 = 2e-7, 0.6, 4.0e3, 2.0e4
+    time = np.arange(1, 8001) * 10.0
+    base = Viscosity.exp_func(time, A, alpha, tau1, tau2)
+    v = Viscosity("unused", cutoff_time=0, volume=1.0,
+                  working_dir=str(tmp_path))
+    v.time = time
+    eta = v.fit_avg_visc([base], plot=False)
+    want = A * alpha * tau1 + A * (1 - alpha) * tau2
+    assert abs(eta - want) / want < 0.05
+
+
 def test_bootstrapping(tmp_path):
     A, alpha, tau1, tau2 = 1e-7, 0.5, 3.0e3, 1.0e4
     time = np.arange(1, 3001) * 10.0

@@ -61,6 +61,14 @@ def test_read_trajectory_stack(mg_tfsi_dme_dir):
     assert np.array_equal(traj.col("type")[0], traj.col("type")[2])
 
 
+def test_unknown_column_filter_raises(mg_tfsi_dme_dir):
+    """A typo in the requested columns must fail at parse time with the
+    offending names, not later as a KeyError far from the cause."""
+    pattern = os.path.join(mg_tfsi_dme_dir, "dump.nvt.0.dump")
+    with pytest.raises(ValueError, match=r"\['xq'\].*not present"):
+        read_trajectory(pattern, columns=["id", "xq"])
+
+
 def test_column_masked_parse_bit_exact(mg_tfsi_dme_dir):
     """The column-masked native parse (skipped tokens byte-scanned, kept
     tokens converted) must be BIT-identical to full parse + select, in

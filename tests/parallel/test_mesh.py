@@ -196,3 +196,88 @@ def test_entry_point_frame_mesh(dump_pattern, monkeypatch):
     # 6 frames pad to 8 (zero-weight); psum reorders f64 sums
     np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
                                rtol=1e-12, atol=0)
+
+
+def test_entry_point_2d_mesh_rel_kernel(tmp_path, monkeypatch):
+    """calc_atomic_rdf pinned to a ("frames", "atoms") mesh must route
+    through the frame+row-sharded relation kernel (the large-N fast
+    path, VERDICT r2 item 4a) and match the single-device rel-kernel
+    result to f32 summation-reorder tolerance."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from helpers import write_traj
+
+    from mdproptools_tpu.structural import rdf_cn
+
+    rng = np.random.default_rng(61)
+    n, box, T = 1500, 16.0, 4
+    codes = rng.integers(1, 4, n)
+    frames = []
+    for t in range(T):
+        xyz = rng.uniform(0, box, (n, 3))
+        frames.append(np.column_stack(
+            [np.arange(1, n + 1), codes, xyz]))
+    pattern = write_traj(str(tmp_path), list(range(T)), 0.0, box,
+                         ["id", "type", "x", "y", "z"], frames)
+    kw = dict(r_cut=6.0, bin_size=0.1, num_types=3, mass=[1.0, 2.0, 3.0],
+              partial_relations=[[1, 3], [2, 3]], save_mode=False,
+              precision="fast")
+    monkeypatch.setattr(rdf_cn, "_FORCE_KERNEL", "rel")
+    rdf_cn._STEP_CACHE.clear()
+    want = rdf_cn.calc_atomic_rdf(filename=pattern, **kw)
+
+    mesh = make_mesh(n_frames_axis=4, n_atoms_axis=2)
+    rdf_cn.set_mesh(mesh)
+    try:
+        rdf_cn._STEP_CACHE.clear()
+        got = rdf_cn.calc_atomic_rdf(filename=pattern, **kw)
+        # the row-sharded relation runner must actually have engaged
+        engaged = any(
+            any(isinstance(k, tuple) and k and k[0] == "rel-sharded"
+                for k in entry[-1])
+            for entry in rdf_cn._STEP_CACHE.values())
+        assert engaged, "2-D mesh did not route through the sharded " \
+            "relation runner"
+    finally:
+        rdf_cn.set_mesh(None)
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               rtol=2e-5, atol=1e-8)
+
+
+def test_sweep_rdf_frames_mesh(tmp_path, monkeypatch):
+    """sweep_rdf's single compiled block program must frame-shard over
+    the active mesh (VERDICT r2 item 4b) with exact f64 parity."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from helpers import write_traj
+
+    from mdproptools_tpu.parallel.sweep import sweep_rdf
+    from mdproptools_tpu.structural import rdf_cn
+
+    rng = np.random.default_rng(67)
+    n, box = 300, 12.0
+    codes = rng.integers(1, 4, n)
+    patterns = []
+    for k in range(2):
+        d = tmp_path / f"traj{k}"
+        d.mkdir()
+        frames = [
+            np.column_stack([np.arange(1, n + 1), codes,
+                             rng.uniform(0, box, (n, 3))])
+            for _ in range(3)
+        ]
+        patterns.append(write_traj(str(d), list(range(3)), 0.0, box,
+                                   ["id", "type", "x", "y", "z"], frames))
+    kw = dict(r_cut=5.0, bin_size=0.1, num_types=3, mass=[1.0, 2.0, 3.0],
+              partial_relations=[[1], [2]], precision="strict")
+    want = sweep_rdf(patterns, **kw)
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("frames",))
+    monkeypatch.setattr(rdf_cn, "_FORCE_FRAMES_MESH", mesh)
+    got = sweep_rdf(patterns, **kw)
+    np.testing.assert_allclose(got.drop(columns="trajectory").to_numpy(),
+                               want.drop(columns="trajectory").to_numpy(),
+                               rtol=1e-12, atol=0)

@@ -33,8 +33,9 @@ def _compare_xyz(workdir, pattern):
         )
 
 
-def test_get_clusters_byte_identical(dump_pattern, tmp_path):
-    n = get_clusters(
+def test_get_clusters_byte_identical(dump_pattern, tmp_path, benchmark):
+    n = benchmark(
+        get_clusters,
         filename=dump_pattern,
         atom_type=9,
         r_cut=R_CUT,

@@ -92,6 +92,66 @@ def test_program_cache_reuses_block_runner(system):
     np.testing.assert_array_equal(np.asarray(full_c), np.asarray(full_a))
 
 
+def test_rdf_policy_follows_box_volume():
+    """The dispatch policy must re-select the kernel as the box density
+    changes: a box large relative to r_cut keeps the rel kernel's tile
+    cull effective (kept_est < 1.2), a shrunken box does not."""
+    n = 50_000
+    # large box: low kept_est -> rel kernel
+    use_rel, _, kept_big = rdf_cn._rdf_policy(
+        n, 90.0**3, 8.0, "auto", use_pallas=True, distinct_rels=True)
+    assert use_rel and kept_big < 1.2
+    # same system compressed: cull useless -> type-block kernel
+    use_rel2, _, kept_small = rdf_cn._rdf_policy(
+        n, 17.0**3, 8.0, "auto", use_pallas=True, distinct_rels=True)
+    assert not use_rel2 and kept_small > 1.2
+    # no pallas (strict/CPU) never engages either fast path
+    assert rdf_cn._rdf_policy(n, 90.0**3, 8.0, "auto", False, True)[0] \
+        is False
+
+
+def test_npt_policy_switch_streaming(monkeypatch):
+    """An NPT-style stream whose box volume drifts across blocks must
+    re-evaluate the kernel policy per block (VERDICT r2 item 5) — and
+    the switching run must stay bit-identical to the single-kernel
+    scatter reference (integer counts, shared normalizer)."""
+    rng = np.random.default_rng(53)
+    n = 700
+    codes = rng.integers(1, 4, n)
+    counts = np.bincount(codes - 1, minlength=3).astype(np.float64)
+    pos1 = rng.uniform(0, 14.0, (2, n, 3))
+    len1 = np.full((2, 3), 14.0)
+    pos2 = rng.uniform(0, 12.0, (2, n, 3))
+    len2 = np.full((2, 3), 12.0)
+
+    def blocks():
+        yield pos1, None, len1
+        yield pos2, None, len2
+
+    def run(**extra):
+        return rdf_cn._rdf_mean(
+            pos1, codes, 3, len1, 0.1, 128, 6.0, RELS, counts, counts,
+            exclude_self=True, with_full=True, dtype=jnp.float32,
+            blocks=blocks(), **extra)
+
+    want_full, want_rels = run()  # scatter path, policy (False, False)
+
+    # volume-keyed fake policy: big box -> rel, shrunken box -> type-block
+    def fake_policy(n_at, v_min, r_cut, ss, use_pallas, distinct):
+        return (bool(use_pallas and v_min > 2000.0), False, v_min)
+
+    monkeypatch.setattr(rdf_cn, "_FORCE_KERNEL", "auto")
+    monkeypatch.setattr(rdf_cn, "_rdf_policy", fake_policy)
+    rdf_cn._policy_log.clear()
+    got_full, got_rels = run()
+    assert [p[0] for p in rdf_cn._policy_log] == [True, False], (
+        "policy did not follow the shrinking box across blocks")
+    np.testing.assert_array_equal(np.asarray(got_full),
+                                  np.asarray(want_full))
+    np.testing.assert_array_equal(np.asarray(got_rels),
+                                  np.asarray(want_rels))
+
+
 def test_forced_cn_kernel_matches_dense(system, monkeypatch):
     pos, codes, lengths, counts = system
     r_cuts = np.array([3.0, 4.5])

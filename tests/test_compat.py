@@ -43,6 +43,39 @@ print("COMPAT_OK")
     assert "COMPAT_OK" in out.stdout
 
 
+def test_compat_alias_shares_module_instances():
+    """A module imported FIRST through the alias name must be the same
+    instance as the canonical import (shared caches/test hooks), not a
+    second execution of the module file."""
+    code = """
+import sys
+import mdproptools_tpu.compat as compat
+compat.install()
+
+# force the finder path: drop the module under both names so the next
+# alias import cannot be satisfied from sys.modules
+sys.modules.pop("mdproptools_tpu.structural.rdf_cn", None)
+sys.modules.pop("mdproptools.structural.rdf_cn", None)
+import mdproptools.structural.rdf_cn as aliased
+import mdproptools_tpu.structural.rdf_cn as canonical
+assert aliased is canonical, "alias produced a second module instance"
+assert canonical.__name__ == "mdproptools_tpu.structural.rdf_cn"
+assert canonical.__spec__.name == "mdproptools_tpu.structural.rdf_cn"
+
+# state set through one name is visible through the other
+canonical._FORCE_KERNEL = "compat-probe"
+assert aliased._FORCE_KERNEL == "compat-probe"
+canonical._FORCE_KERNEL = None
+print("SHARED_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "SHARED_OK" in out.stdout
+
+
 def test_compat_refuses_foreign_module():
     code = """
 import sys, types

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""A/B relation-kernel variants on the real TPU at the 42k/84k-atom
+scale (tiled bundled box, production dispatch path via rdf_cn._rdf_mean).
+Currently: ceil column walk vs main+tail walk. Prints JSON rows.
+(The int8-dot A/B this file was born for is dead: Mosaic rejects i8
+vectors — see REL_DOT_INT8 in ops/pairs_pallas.py.)"""
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+import numpy as np  # noqa: E402
+
+DATA = "/root/reference/data/mg_tfsi_dme/dump.nvt.5000000.dump"
+RELATIONS = np.array([[8, 1], [8, 4], [8, 6], [8, 8]])
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(HERE), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from mdproptools_tpu.io.lammps_dump import read_trajectory
+    from mdproptools_tpu.ops import pairs_pallas
+    from mdproptools_tpu.structural import rdf_cn
+    from mdproptools_tpu.utilities.benchmarking import (
+        steady_state_seconds_per_frame,
+    )
+
+    traj = read_trajectory(DATA, columns=["id", "type", "x", "y", "z"])
+    codes1 = traj.col("type")[0].astype(np.int64)
+    pos1 = traj.cols(["x", "y", "z"])[0]
+    L1 = traj.box_lengths[0]
+
+    for reps in [(2, 2, 1)]:
+        shifts = [(i, j, k) for i in range(reps[0])
+                  for j in range(reps[1]) for k in range(reps[2])]
+        pos = np.concatenate([pos1 + np.array(s) * L1 for s in shifts])
+        codes = np.tile(codes1, len(shifts))
+        L = L1 * np.array(reps)
+        counts = np.bincount(codes - 1, minlength=9).astype(np.float64)
+
+        def run(T):
+            posT = np.broadcast_to(pos, (T,) + pos.shape).copy()
+            lenT = np.broadcast_to(L, (T, 3)).copy()
+            return rdf_cn._rdf_mean(
+                posT, codes, 9, lenT, 0.05, 400, 20.0, RELATIONS,
+                counts, counts, exclude_self=True, with_full=True,
+                dtype=jnp.float32,
+            )
+
+        results = {}
+        for name, flag in [("ceil", False), ("tail", True)]:
+            pairs_pallas.REL_TAIL_WALK = flag
+            rdf_cn._STEP_CACHE.clear()
+            dt, noisy, (g_full, g_part) = steady_state_seconds_per_frame(
+                run, t_small=2, t_big=8, repeats=2)
+            results[name] = {
+                "ms_per_frame": round(dt * 1000.0, 1),
+                "noise_limited": bool(noisy),
+                "hist": (np.asarray(g_full, np.float64),
+                         np.asarray(g_part, np.float64)),
+            }
+            print(json.dumps({"atoms": len(codes), "dot": name,
+                              "ms_per_frame": results[name]["ms_per_frame"],
+                              "noise_limited": bool(noisy)}), flush=True)
+        a, b = results["ceil"]["hist"], results["tail"]["hist"]
+        exact = (np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1]))
+        print(json.dumps({"atoms": len(codes), "bit_equal": bool(exact)}),
+              flush=True)
+        assert exact, "tail-walk kernel != ceil-walk kernel"
+
+
+if __name__ == "__main__":
+    main()

@@ -26,5 +26,6 @@ Precision policy: every device op takes ``precision={"fast","strict"}``.
 """
 
 from mdproptools_tpu import common, dynamical, io, ops, parallel, structural, utilities
+from mdproptools_tpu.pipeline import analyze
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

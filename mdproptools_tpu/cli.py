@@ -144,6 +144,26 @@ def build_parser():
     p.add_argument("--working-dir", default=".")
 
     p = sub.add_parser(
+        "analyze",
+        help="shared-parse composite: RDF + MSD + GK conductivity from "
+             "ONE pass over the trajectory")
+    common(p, mols=True)
+    p.add_argument("--num-types", type=int, required=True)
+    p.add_argument("--mass", type=_floats, required=True)
+    p.add_argument("--r-cut", type=float, required=True)
+    p.add_argument("--bin-size", type=float, required=True)
+    p.add_argument("--relations", type=_relations, required=True)
+    p.add_argument("--volume", type=float, default=None,
+                   help="box volume (LAMMPS units) — enables the GK leg")
+    p.add_argument("--no-msd", action="store_true")
+    p.add_argument("--temp", type=float, default=298.15)
+    p.add_argument("--timestep", type=float, default=1)
+    p.add_argument("--units", default="real")
+    p.add_argument("--tol", type=float, default=1e-4)
+    p.add_argument("--working-dir", default=".")
+    p.add_argument("--rdf-out", default="rdf.csv")
+
+    p = sub.add_parser(
         "sweep",
         help="batched RDF over many same-system trajectories (one "
              "compiled program, parse/compute overlap)")
@@ -262,6 +282,30 @@ def main(argv=None):
         )
         print(f"hydration factor: {df['hydration_factor'].iloc[0]:.4f} "
               f"({len(df)} angles)")
+    elif cmd == "analyze":
+        from mdproptools_tpu.pipeline import analyze
+
+        out = analyze(
+            args.dumps, args.num_types, args.mass,
+            num_mols=args.num_mols,
+            num_atoms_per_mol=args.num_atoms_per_mol,
+            rdf=dict(r_cut=args.r_cut, bin_size=args.bin_size,
+                     partial_relations=args.relations,
+                     path_or_buff=f"{args.working_dir}/{args.rdf_out}",
+                     save_mode=True),
+            msd=None if args.no_msd else dict(msd_type="com"),
+            conductivity=(dict(volume=args.volume, temp=args.temp,
+                               tol=args.tol)
+                          if args.volume else None),
+            timestep=args.timestep, units=args.units,
+            precision=args.precision, working_dir=args.working_dir,
+        )
+        print(f"wrote {args.rdf_out} ({len(out['rdf'])} bins)")
+        if "diffusion" in out:
+            print(out["diffusion"].to_string())
+        if "sigma" in out:
+            print("conductivity (S/m), per mol type + total:",
+                  out["sigma"])
     elif cmd == "sweep":
         from mdproptools_tpu.parallel.sweep import sweep_rdf
 

@@ -134,66 +134,23 @@ class Conductivity:
         replaces the process pool (``conductivity.py:167-195``);
         ingestion is streamed so host memory stays O(block x N) for any
         trajectory length (the per-type flux series itself is tiny)."""
-        dtype = resolve_dtype(self.precision)
         pattern = f"{self.working_dir}/{self.filename}"
         available = peek_dump_columns(pattern)
         wanted = ["id", "type", "q", "mass", "vx", "vy", "vz"]
-        blocks = iter_trajectory_blocks(
+        stream = self.flux_stream()
+        for blk in iter_trajectory_blocks(
             pattern, columns=[c for c in wanted if c in available]
-        )
-        system = System(self.num_mols, self.num_atoms_per_mol, mass=self.mass)
-        mol_index = jnp.asarray(system.mol_index)
-        type_index = jnp.asarray(system.mol_type_of_molecule - 1)
-        n_mols = system.n_molecules
-        n_types = system.n_mol_types
+        ):
+            stream.fold(blk)
+        return stream.finalize()
 
-        vconv = constants.VELOCITY_CONVERSION[self.units]
-        qconv = constants.CHARGE_CONVERSION[self.units]
-
-        @jax.jit
-        def flux_fn(vel_d, q_d, m_d):
-            vcom = com_ops.segment_com(vel_d, m_d, mol_index, n_mols)
-            vcom = vcom * vconv  # (T, M, 3), SI
-            qmol = jax.ops.segment_sum(q_d, mol_index,
-                                       num_segments=n_mols) * qconv
-            weighted = vcom * qmol[None, :, None]  # (T, M, 3)
-            flat = weighted.reshape(-1, 3)
-            seg = jnp.tile(type_index, vel_d.shape[0]) + (
-                jnp.repeat(jnp.arange(vel_d.shape[0]), n_mols) * n_types
-            )
-            j = jax.ops.segment_sum(flat, seg,
-                                    num_segments=vel_d.shape[0] * n_types)
-            return j.reshape(vel_d.shape[0], n_types, 3)
-
-        j_parts, timesteps = [], []
-        masses = q = None
-        for blk in blocks:
-            if masses is None:  # frame-0 metadata
-                if self.mass is not None:
-                    types = blk.col("type")[0].astype(np.int64)
-                    masses = np.asarray(self.mass, np.float64)[types - 1]
-                elif blk.has("mass"):
-                    masses = blk.col("mass")[0]
-                else:
-                    raise AssertionError("Missing atom masses in dump file.")
-                if not blk.has("q"):
-                    raise AssertionError("Missing atom charges in dump file.")
-                q = blk.col("q")[0]
-            vel_b = blk.cols(["vx", "vy", "vz"])  # (block, N, 3)
-            with stage("charge_flux", frames=vel_b.shape[0]):
-                j_parts.append(np.asarray(
-                    flux_fn(jnp.asarray(vel_b, dtype), jnp.asarray(q, dtype),
-                            jnp.asarray(masses, dtype)),
-                    np.float64,
-                ))
-            timesteps.append(blk.timesteps)
-        j = np.concatenate(j_parts)
-        self.time = list(
-            np.concatenate(timesteps).astype(np.float64)
-            * constants.TIME_CONVERSION[self.units]
-            * self.timestep
-        )
-        return np.transpose(j, (2, 1, 0))  # (3, n_types, T)
+    def flux_stream(self):
+        """(beyond-reference) push-model charge flux:
+        ``fold(frame_block)`` one parsed block at a time, ``finalize()``
+        -> the (3, n_mol_types, T) flux (and sets ``self.time``), so the
+        shared-parse composite pipeline (``mdproptools_tpu.pipeline``)
+        can feed one parse into several property streams."""
+        return _FluxStream(self)
 
     def correlate_charge_flux(self, flux):
         """All type-pair cross-correlations, summed over xyz; row i =
@@ -392,3 +349,76 @@ class Conductivity:
             np.sum(n * (z * e) ** 2 * diffusion)
             / (self.volume * constants.BOLTZMANN * temp)
         )
+
+
+class _FluxStream:
+    """Push-model charge-flux accumulator built by
+    ``Conductivity.flux_stream``: ``fold(frame_block)`` runs the jitted
+    segment-sum flux program on each parsed block, ``finalize()``
+    returns the (3, n_mol_types, T) flux and sets ``cond.time``."""
+
+    def __init__(self, cond: Conductivity):
+        self.c = cond
+        self.dtype = resolve_dtype(cond.precision)
+        system = System(cond.num_mols, cond.num_atoms_per_mol,
+                        mass=cond.mass)
+        mol_index = jnp.asarray(system.mol_index)
+        type_index = jnp.asarray(system.mol_type_of_molecule - 1)
+        n_mols = system.n_molecules
+        n_types = system.n_mol_types
+        vconv = constants.VELOCITY_CONVERSION[cond.units]
+        qconv = constants.CHARGE_CONVERSION[cond.units]
+
+        @jax.jit
+        def flux_fn(vel_d, q_d, m_d):
+            vcom = com_ops.segment_com(vel_d, m_d, mol_index, n_mols)
+            vcom = vcom * vconv  # (T, M, 3), SI
+            qmol = jax.ops.segment_sum(q_d, mol_index,
+                                       num_segments=n_mols) * qconv
+            weighted = vcom * qmol[None, :, None]  # (T, M, 3)
+            flat = weighted.reshape(-1, 3)
+            seg = jnp.tile(type_index, vel_d.shape[0]) + (
+                jnp.repeat(jnp.arange(vel_d.shape[0]), n_mols) * n_types
+            )
+            j = jax.ops.segment_sum(flat, seg,
+                                    num_segments=vel_d.shape[0] * n_types)
+            return j.reshape(vel_d.shape[0], n_types, 3)
+
+        self._flux_fn = flux_fn
+        self._j_parts = []
+        self._timesteps = []
+        self._masses = self._q = None
+
+    def fold(self, blk):
+        c = self.c
+        if self._masses is None:  # frame-0 metadata
+            if c.mass is not None:
+                types = blk.col("type")[0].astype(np.int64)
+                self._masses = np.asarray(c.mass, np.float64)[types - 1]
+            elif blk.has("mass"):
+                self._masses = blk.col("mass")[0]
+            else:
+                raise AssertionError("Missing atom masses in dump file.")
+            if not blk.has("q"):
+                raise AssertionError("Missing atom charges in dump file.")
+            self._q = blk.col("q")[0]
+        vel_b = blk.cols(["vx", "vy", "vz"])  # (block, N, 3)
+        with stage("charge_flux", frames=vel_b.shape[0]):
+            self._j_parts.append(np.asarray(
+                self._flux_fn(jnp.asarray(vel_b, self.dtype),
+                              jnp.asarray(self._q, self.dtype),
+                              jnp.asarray(self._masses, self.dtype)),
+                np.float64,
+            ))
+        self._timesteps.append(blk.timesteps)
+
+    def finalize(self):
+        if not self._j_parts:
+            raise ValueError("no frames folded")
+        j = np.concatenate(self._j_parts)
+        self.c.time = list(
+            np.concatenate(self._timesteps).astype(np.float64)
+            * constants.TIME_CONVERSION[self.c.units]
+            * self.c.timestep
+        )
+        return np.transpose(j, (2, 1, 0))  # (3, n_types, T)

@@ -124,56 +124,35 @@ class Diffusion:
         # 0 (displacements, per-frame means, msd_int running sums, and
         # the msd_all rows either appended to ``msd_all_path`` or
         # collected in memory when the DataFrame was asked for).
-        coords_parts, ts_parts = [], []
-        ids = masses = None
-        system = None
-        dist = constants.DISTANCE_CONVERSION[self.units]
-        # allatom streaming state
-        aa = None
+        stream = self.msd_stream(
+            msd_type=msd_type, num_mols=num_mols,
+            num_atoms_per_mol=num_atoms_per_mol, mass=mass,
+            tao_coeff=tao_coeff, precision=precision,
+            msd_all_path=msd_all_path,
+        )
         for blk in iter_trajectory_blocks(
             pattern, columns=[c for c in wanted if c in available]
         ):
-            if ids is None:  # frame-0 metadata
-                if not blk.has("id"):
-                    raise AssertionError("Missing atom id's in dump file.")
-                ids = blk.col("id")[0].astype(np.int64)
-                if msd_type == "com":
-                    system = System(num_mols, num_atoms_per_mol)
-                    if mass is not None:
-                        types = blk.col("type")[0].astype(np.int64)
-                        masses = np.asarray(mass, np.float64)[types - 1]
-                    elif blk.has("mass"):
-                        masses = blk.col("mass")[0]
-                    else:
-                        raise AssertionError(
-                            "Missing atom masses in dump file.")
-            xu_b = self._unwrapped_coords(blk)  # (block, N, 3) LAMMPS units
-            if msd_type == "com":
-                com_b = com_ops.segment_com(
-                    jnp.asarray(xu_b, dtype),
-                    jnp.asarray(masses, dtype),
-                    jnp.asarray(system.mol_index),
-                    system.n_molecules,
-                )
-                coords_parts.append(np.asarray(com_b, np.float64))
-                ts_parts.append(blk.timesteps)
-            else:
-                aa = self._allatom_stream_block(
-                    aa, xu_b * dist, blk.timesteps, ids, tao_coeff,
-                    msd_all_path)
-                ts_parts.append(blk.timesteps)
+            stream.fold(blk)
+        return stream.finalize(com_drift=com_drift,
+                               avg_interval=avg_interval)
 
-        time_s = (
-            np.concatenate(ts_parts).astype(np.float64)
-            * self.timestep
-            * constants.TIME_CONVERSION[self.units]
-        )
+    def msd_stream(self, msd_type="com", num_mols=None,
+                   num_atoms_per_mol=None, mass=None, tao_coeff=4,
+                   precision="strict", msd_all_path=None):
+        """(beyond-reference) push-model MSD: ``fold(frame_block)`` one
+        parsed block at a time, then ``finalize(...)`` for the same
+        DataFrames ``get_msd_from_dump`` returns. Lets the shared-parse
+        composite pipeline (``mdproptools_tpu.pipeline``) feed one parse
+        into several property streams."""
+        return _MsdStream(self, msd_type, num_mols, num_atoms_per_mol,
+                          mass, tao_coeff, resolve_dtype(precision),
+                          msd_all_path)
 
-        if msd_type == "allatom":
-            return self._allatom_finalize(aa, time_s, ids, avg_interval,
-                                          msd_all_path)
-
-        coords = np.concatenate(coords_parts) * dist  # SI
+    def _com_finalize(self, coords, time_s, system, masses, com_drift,
+                      avg_interval, tao_coeff):
+        """COM-path post-processing shared by the pull and push APIs:
+        drift correction, msd/msd_all layouts, msd_int quirk."""
         T = coords.shape[0]
 
         mol_types = system.mol_type_of_molecule  # (M,) 1-based
@@ -574,3 +553,80 @@ class Diffusion:
                         pad_inches=0.1)
             plt.close(fig)
         return msd_int
+
+
+class _MsdStream:
+    """Push-model MSD accumulator (built by ``Diffusion.msd_stream``):
+    ``fold(frame_block)`` reduces each parsed block (segment-sum COMs
+    for the com path; the O(block)-memory displacement reduction for
+    allatom), ``finalize(...)`` returns exactly what
+    ``get_msd_from_dump`` returns."""
+
+    def __init__(self, diff, msd_type, num_mols, num_atoms_per_mol, mass,
+                 tao_coeff, dtype, msd_all_path):
+        if msd_type not in ("allatom", "com"):
+            raise ValueError("msd_type must be 'allatom' or 'com'.")
+        if msd_all_path is not None and msd_type != "allatom":
+            raise ValueError(
+                "msd_all_path streams the allatom per-atom table; the "
+                "com path's msd_all is O(T x M) and always in memory")
+        self.d = diff
+        self.msd_type = msd_type
+        self.num_mols = num_mols
+        self.num_atoms_per_mol = num_atoms_per_mol
+        self.mass = mass
+        self.tao_coeff = tao_coeff
+        self.dtype = dtype
+        self.msd_all_path = msd_all_path
+        self.dist = constants.DISTANCE_CONVERSION[diff.units]
+        self.ids = self.masses = self.system = None
+        self.coords_parts = []
+        self.ts_parts = []
+        self.aa = None
+
+    def fold(self, blk):
+        if self.ids is None:  # frame-0 metadata
+            if not blk.has("id"):
+                raise AssertionError("Missing atom id's in dump file.")
+            self.ids = blk.col("id")[0].astype(np.int64)
+            if self.msd_type == "com":
+                self.system = System(self.num_mols, self.num_atoms_per_mol)
+                if self.mass is not None:
+                    types = blk.col("type")[0].astype(np.int64)
+                    self.masses = np.asarray(self.mass,
+                                             np.float64)[types - 1]
+                elif blk.has("mass"):
+                    self.masses = blk.col("mass")[0]
+                else:
+                    raise AssertionError("Missing atom masses in dump file.")
+        xu_b = Diffusion._unwrapped_coords(blk)  # (block, N, 3)
+        if self.msd_type == "com":
+            com_b = com_ops.segment_com(
+                jnp.asarray(xu_b, self.dtype),
+                jnp.asarray(self.masses, self.dtype),
+                jnp.asarray(self.system.mol_index),
+                self.system.n_molecules,
+            )
+            self.coords_parts.append(np.asarray(com_b, np.float64))
+        else:
+            self.aa = self.d._allatom_stream_block(
+                self.aa, xu_b * self.dist, blk.timesteps, self.ids,
+                self.tao_coeff, self.msd_all_path)
+        self.ts_parts.append(blk.timesteps)
+
+    def finalize(self, com_drift=False, avg_interval=False):
+        if not self.ts_parts:
+            raise ValueError("no frames folded")
+        time_s = (
+            np.concatenate(self.ts_parts).astype(np.float64)
+            * self.d.timestep
+            * constants.TIME_CONVERSION[self.d.units]
+        )
+        if self.msd_type == "allatom":
+            return self.d._allatom_finalize(self.aa, time_s, self.ids,
+                                            avg_interval,
+                                            self.msd_all_path)
+        coords = np.concatenate(self.coords_parts) * self.dist  # SI
+        return self.d._com_finalize(coords, time_s, self.system,
+                                    self.masses, com_drift, avg_interval,
+                                    self.tao_coeff)

@@ -66,6 +66,14 @@ class Molecule:
     # ---- IO -----------------------------------------------------------------
     @classmethod
     def from_file(cls, filename: str) -> "Molecule":
+        """Read a molecule from a file by extension.
+
+        KNOWN LIMIT vs the reference: pymatgen's ``Molecule.from_file``
+        (used at ``cluster_analysis.py:341``) accepts further formats
+        (mol/sdf/gjf/...) via openbabel; this parser covers XYZ and PDB
+        — the two formats the reference's own tests and bundled data
+        exercise. Other formats raise ValueError; convert externally.
+        """
         low = filename.lower()
         if low.endswith(".xyz"):
             return cls.from_xyz(filename)

@@ -533,6 +533,18 @@ def _row_block(n_groups: int) -> int:
     so the triangle rule is block-invariant)."""
     return min(ROW_BLOCK, max(8, (1 << 17) // max(n_groups, 128)))
 
+REL_DOT_INT8 = False  # int8 one-hot MXU dots (would ride v5e's 2x int8
+#                       MAC rate). MEASURED DEAD END on this backend:
+#                       Mosaic refuses i8 vectors outright ("Only
+#                       vector<i16> and vector<i32> are supported") —
+#                       the one-hot operands can't even materialize in
+#                       i8, so the 2x int8 path is unreachable from
+#                       Pallas today. Kept as a flag so the experiment
+#                       re-runs in one line when Mosaic grows i8.
+
+TAIL_GROUP = 8  # tail-walk width finishing n_act % C_GROUP_REL columns
+REL_TAIL_WALK = True  # main+tail column walk (benchmarks A/B this)
+
 KC_REL = 32  # column tiles per grid program (relation kernel)
 C_GROUP_REL = 64  # independent column dots per roll step (swept 16/32/64
 #                   on v5e with the ORB layout at 42k/84k atoms:
@@ -563,11 +575,21 @@ def _rel_kernel(
     triangle,
     compact_cols,
     c_group,
+    dot_int8=False,
+    tail_walk=True,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_rel = len(relations)
     trash = jnp.int32((1 + n_rel) * hb)
+    # int8 one-hot operands: v5e's MXU runs int8 x int8 -> int32 at 2x
+    # the bf16 rate on the weight-load-bound path this kernel sits on;
+    # one-hot sums reach at most 3 (exact in int8), per-subtile partial
+    # counts fit int32, and the f32 accumulation into out_ref is exact
+    # for integer counts
+    oh_dtype = jnp.int8 if dot_int8 else jnp.bfloat16
+    acc_dtype = jnp.int32 if dot_int8 else jnp.float32
+    tail_on = compact_cols and tail_walk and c_group > TAIL_GROUP
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -643,26 +665,31 @@ def _rel_kernel(
             if with_full:
                 jf_t = jnp.where(valid, hi, trash)
 
-            def group_body(g, carry2):
-                arrs, accs = carry2
-                lo_c = arrs[0]
-                new_accs = []
-                for q in range(c_group):
-                    oh = (arrs[1][:, q:q + 1] == iota_m).astype(
-                        jnp.bfloat16)
-                    for extra in arrs[2:]:
-                        oh = oh + (extra[:, q:q + 1] == iota_m).astype(
-                            jnp.bfloat16)
-                    oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
-                        jnp.bfloat16)
-                    new_accs.append(accs[q] + jax.lax.dot_general(
-                        oh, oh_lo,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ))  # (m_pad, F)
-                rolled = tuple(
-                    pltpu.roll(a, F - c_group, 1) for a in arrs)
-                return (rolled, tuple(new_accs))
+            def make_group_body(width):
+                def group_body(g, carry2):
+                    arrs, accs = carry2
+                    lo_c = arrs[0]
+                    new_accs = []
+                    for q in range(width):
+                        oh = (arrs[1][:, q:q + 1] == iota_m).astype(
+                            oh_dtype)
+                        for extra in arrs[2:]:
+                            oh = oh + (extra[:, q:q + 1]
+                                       == iota_m).astype(oh_dtype)
+                        oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
+                            oh_dtype)
+                        new_accs.append(accs[q] + jax.lax.dot_general(
+                            oh, oh_lo,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=acc_dtype,
+                        ))  # (m_pad, F)
+                    rolled = tuple(
+                        pltpu.roll(a, F - width, 1) for a in arrs)
+                    return (rolled, tuple(new_accs))
+
+                return group_body
+
+            group_body = make_group_body(c_group)
 
             arrs = [lo_t, j1_t]
             if triangle:
@@ -710,21 +737,44 @@ def _rel_kernel(
                     jnp.where(lane_mask, _permute(a), trash)
                     for a in arrs[1:]
                 ]
-                n_grp = (n_act + jnp.int32(c_group - 1)) // jnp.int32(
-                    c_group)
+                # main + tail walk: the c_group-wide ceil walk wasted up
+                # to c_group - 1 full-cost dots per subtile on the
+                # rounding (mean n_act per kept tile at 42k is ~54 of
+                # 128, so ~mid-tens of wasted 128-cycle dots); run
+                # floor(n_act / c_group) wide trips, then finish the
+                # remainder in TAIL_GROUP-wide trips
+                n_grp = n_act // jnp.int32(c_group)
+                rem = n_act - n_grp * jnp.int32(c_group)
+                n_tail = ((rem + jnp.int32(TAIL_GROUP - 1))
+                          // jnp.int32(TAIL_GROUP)) if tail_on else None
+                if not tail_on:
+                    n_grp = (n_act + jnp.int32(c_group - 1)) // jnp.int32(
+                        c_group)
             else:
                 n_grp = F // c_group
+                n_tail = None
             accs0 = tuple(
-                jnp.zeros((m_pad, F), jnp.float32)
+                jnp.zeros((m_pad, F), acc_dtype)
                 for _ in range(c_group)
             )
-            (_, accs) = jax.lax.fori_loop(
+            (arrs_after, accs) = jax.lax.fori_loop(
                 0, n_grp, group_body, (tuple(arrs), accs0)
             )
             total = accs[0]
             for a in accs[1:]:
                 total = total + a
-            out_ref[...] = out_ref[...] + total
+            if n_tail is not None:
+                tail_accs0 = tuple(
+                    jnp.zeros((m_pad, F), acc_dtype)
+                    for _ in range(TAIL_GROUP)
+                )
+                (_, tail_accs) = jax.lax.fori_loop(
+                    0, n_tail, make_group_body(TAIL_GROUP),
+                    (arrs_after, tail_accs0)
+                )
+                for a in tail_accs:
+                    total = total + a
+            out_ref[...] = out_ref[...] + total.astype(jnp.float32)
             return w & (w - 1)
 
         jax.lax.fori_loop(0, _popcount32(word), subtile, word)
@@ -752,6 +802,7 @@ def pair_hist_relations_pallas(
     counts_r=None,  # (n_types_r,) true atom counts (self-pair re-add)
     compact_cols: bool = True,
     row_tiles=None,
+    dot_int8=None,  # None -> module REL_DOT_INT8
 ):
     """Relation-projected ordered-pair histogram on mixed-type tiles.
 
@@ -867,6 +918,8 @@ def pair_hist_relations_pallas(
         triangle=bool(triangle),
         compact_cols=compact_cols,
         c_group=int(c_group),
+        dot_int8=bool(REL_DOT_INT8 if dot_int8 is None else dot_int8),
+        tail_walk=bool(REL_TAIL_WALK),
     )
     def _call(mask_b, rt_b, co_b, rowpack_b, colpack_b):
         ng = colpack_b.shape[0]

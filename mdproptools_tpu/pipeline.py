@@ -1,0 +1,196 @@
+"""
+Shared-parse composite analysis: ONE streamed pass over a dump glob
+feeds several property streams at once (RDF + MSD + Green-Kubo charge
+flux), instead of each entry point re-parsing the trajectory.
+
+Why (beyond-reference; the reference re-parses per property): parsing
+is the dominant cost of the MSD and charge-flux legs — on the bundled
+trajectory their warm end-to-end times are parse-bound, and on the
+north-star 10k-frame workload each extra pass over the files costs
+minutes. The property math is UNCHANGED: the pipeline folds the same
+parsed blocks into the same push-model streams the individual entry
+points use (``rdf_cn._make_rdf_mean_stream``, ``Diffusion.msd_stream``,
+``Conductivity.flux_stream``), so each result is identical to the
+separate call (pinned by tests/test_pipeline.py).
+"""
+
+import os
+
+import numpy as np
+
+from mdproptools_tpu.io.lammps_dump import (
+    iter_trajectory_blocks,
+    peek_dump_columns,
+    prefetch_iter,
+)
+from mdproptools_tpu.utilities.tracing import stage
+
+
+def analyze(
+    filename,
+    num_types,
+    mass,
+    num_mols=None,
+    num_atoms_per_mol=None,
+    rdf=None,
+    msd=None,
+    conductivity=None,
+    timestep=1,
+    units="real",
+    precision="fast",
+    working_dir=None,
+):
+    """Run any subset of {RDF, MSD, GK conductivity} from ONE parse.
+
+    ``rdf``: dict(r_cut, bin_size, partial_relations[, path_or_buff,
+    save_mode=False, spatial_sort="auto", alter_atom_types=False]) ->
+    result["rdf"] DataFrame (identical to ``calc_atomic_rdf``;
+    ``alter_atom_types=True`` applies the per-molecule type remap the
+    reference triggers by passing num_mols — explicit here because
+    num_mols is shared with the MSD/conductivity legs).
+
+    ``msd``: dict([msd_type="com", com_drift=False, avg_interval=False,
+    tao_coeff=4, calc_diff=True, initial_time=None, final_time=None])
+    -> result["msd"], result["msd_all"] (and "msd_int", "diffusion")
+    (identical to ``Diffusion.get_msd_from_dump`` / ``calc_diff``).
+
+    ``conductivity``: dict(volume[, temp=298.15, tol=1e-4]) ->
+    result["sigma"] plus "charge_flux_corr", "integral"
+    (identical to the ``Conductivity`` pipeline).
+
+    Shared args (``num_types``/``mass``/``num_mols``/
+    ``num_atoms_per_mol``/``timestep``/``units``/``precision``) follow
+    the reference conventions.
+    """
+    if not (rdf or msd or conductivity):
+        raise ValueError("nothing to analyze: pass rdf=, msd= and/or "
+                         "conductivity=")
+    working_dir = working_dir or os.getcwd()
+    pattern = filename if os.path.isabs(filename) \
+        else f"{working_dir}/{filename}"
+    available = peek_dump_columns(pattern)
+    wanted = {"id", "type"}
+    if rdf:
+        wanted |= {"x", "y", "z"}
+    if msd:
+        wanted |= {"x", "y", "z", "xu", "yu", "zu", "ix", "iy", "iz",
+                   "mass"}
+    if conductivity:
+        wanted |= {"q", "mass", "vx", "vy", "vz"}
+    columns = [c for c in ["id", "mol", "type", "q", "mass", "x", "y",
+                           "z", "xu", "yu", "zu", "ix", "iy", "iz",
+                           "vx", "vy", "vz"]
+               if c in wanted and c in available]
+
+    blocks = prefetch_iter(
+        iter_trajectory_blocks(pattern, columns=columns), depth=2)
+
+    rdf_stream = msd_stream = flux_stream = None
+    rdf_meta = None
+    diff = cond = None
+    result = {}
+
+    for blk in blocks:
+        if rdf_stream is None and rdf:
+            rdf_stream, rdf_meta = _make_rdf(blk, num_types, mass,
+                                             num_mols, num_atoms_per_mol,
+                                             precision, rdf)
+        if msd_stream is None and msd:
+            from mdproptools_tpu.dynamical.diffusion import Diffusion
+
+            diff = Diffusion(timestep=timestep, units=units,
+                             outputs_dir=working_dir,
+                             diff_dir=working_dir)
+            msd_stream = diff.msd_stream(
+                msd_type=msd.get("msd_type", "com"), num_mols=num_mols,
+                num_atoms_per_mol=num_atoms_per_mol, mass=mass,
+                tao_coeff=msd.get("tao_coeff", 4), precision=precision,
+                msd_all_path=msd.get("msd_all_path"),
+            )
+        if flux_stream is None and conductivity:
+            from mdproptools_tpu.dynamical.conductivity import (
+                Conductivity,
+            )
+
+            cond = Conductivity(
+                filename, num_mols, num_atoms_per_mol,
+                volume=conductivity["volume"], mass=mass,
+                temp=conductivity.get("temp", 298.15),
+                timestep=timestep, units=units, working_dir=working_dir,
+                precision=precision,
+            )
+            flux_stream = cond.flux_stream()
+        with stage("pipeline_block", frames=blk.data.shape[0]):
+            if rdf_stream is not None:
+                rdf_stream.fold(blk.cols(["x", "y", "z"]), None,
+                                blk.box_lengths)
+            if msd_stream is not None:
+                msd_stream.fold(blk)
+            if flux_stream is not None:
+                flux_stream.fold(blk)
+
+    if rdf_stream is not None:
+        from mdproptools_tpu.structural.rdf_cn import _radii, _save_rdf
+
+        rdf_full, rdf_part = rdf_stream.result()
+        result["rdf"] = _save_rdf(
+            _radii(rdf["bin_size"], rdf_meta["num_bins"]),
+            rdf_meta["relation_matrix"],
+            rdf.get("path_or_buff", f"{working_dir}/rdf.csv"),
+            rdf.get("save_mode", False), rdf_part, rdf_full)
+    if msd_stream is not None:
+        out = msd_stream.finalize(
+            com_drift=msd.get("com_drift", False),
+            avg_interval=msd.get("avg_interval", False))
+        if msd.get("avg_interval", False):
+            result["msd"], result["msd_all"], result["msd_int"] = out
+        else:
+            result["msd"], result["msd_all"] = out
+        if msd.get("calc_diff", True):
+            result["diffusion"] = diff.calc_diff(
+                result["msd"], initial_time=msd.get("initial_time"),
+                final_time=msd.get("final_time"))
+    if flux_stream is not None:
+        j = flux_stream.finalize()
+        tot = cond.correlate_charge_flux(j)
+        integral = cond.integrate_charge_flux_correlation(tot)
+        result["charge_flux_corr"] = tot
+        result["integral"] = integral
+        if conductivity.get("fit", True):
+            # fit=False stops before the plateau fit (short/sparse
+            # trajectories where detect_time_range cannot find a window)
+            ave, time_range = cond.fit_curve(
+                tot, integral, conductivity.get("tol", 1e-4))
+            result["sigma"] = cond.green_kubo(ave)
+            result["sigma_time_range"] = time_range
+    return result
+
+
+def _make_rdf(first_blk, num_types, mass, num_mols, num_atoms_per_mol,
+              precision, rdf):
+    """Configure the RDF stream from the first parsed block, exactly as
+    ``calc_atomic_rdf`` does."""
+    from mdproptools_tpu.ops.precision import resolve_dtype
+    from mdproptools_tpu.structural import rdf_cn
+
+    dtype = resolve_dtype(precision)
+    alter = rdf.get("alter_atom_types", False)
+    codes, n_codes, _ = rdf_cn._atom_codes(
+        first_blk, num_types,
+        num_mols if alter else None,
+        num_atoms_per_mol if alter else None)
+    num_bins = int(rdf["r_cut"] / rdf["bin_size"])
+    relation_matrix = np.asarray(rdf["partial_relations"]).T
+    lengths = first_blk.box_lengths
+    code_counts = np.bincount(codes - 1,
+                              minlength=n_codes).astype(np.float64)
+    rdf_cn._check_relations(relation_matrix, code_counts, n_codes,
+                            lengths.prod(axis=1), "atom")
+    stream = rdf_cn._make_rdf_mean_stream(
+        first_blk.cols(["x", "y", "z"]), codes, n_codes, lengths,
+        rdf["bin_size"], num_bins, float(rdf["r_cut"]), relation_matrix,
+        code_counts, code_counts, exclude_self=True, with_full=True,
+        dtype=dtype, spatial_sort=rdf.get("spatial_sort", "auto"),
+    )
+    return stream, {"num_bins": num_bins,
+                    "relation_matrix": relation_matrix}

@@ -626,19 +626,14 @@ def _make_rdf_step(
 _policy_log: list = []  # (use_rel, sort_on, kept_est) per block (test hook)
 
 
-def _rdf_mean(
+def _make_rdf_mean_stream(
     pos, codes, n_codes, lengths, bin_size, n_bins, r_cut, relation_matrix,
     code_counts_rows, code_counts_cols, exclude_self, with_full, dtype,
     pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort="auto",
-    blocks=None,
 ):
-    """Frame-averaged normalized RDF: returns (g_full or None, g_part).
-
-    ``blocks``: optional iterator of (pos_b, pos_cols_b|None, lengths_b)
-    host blocks for streaming ingestion (``pos``/``lengths`` then only
-    inform shapes — pass the first block). When None,
-    ``pos``/``pos_cols``/``lengths`` are full arrays. See
-    ``_make_rdf_step`` for the per-frame math and fast-path structure.
+    """Configure a ``_RdfMeanStream`` (policy closure + cached runners)
+    for a system whose shapes/codes come from ``pos``/first block —
+    everything `_rdf_mean` does except consuming the blocks.
 
     The kernel-dispatch policy (``_rdf_policy``) is re-evaluated from
     each BLOCK's minimum box volume, so an NPT trajectory whose box
@@ -725,50 +720,103 @@ def _rdf_mean(
             runners[rkey] = run
         return run, 1 if fmesh is None else fmesh.size
 
+    return _RdfMeanStream(
+        out_shape, dtype, runner_for,
+        lambda v_min_b: _rdf_policy(n_atoms_pol, v_min_b, r_cut,
+                                    spatial_sort, use_pallas,
+                                    distinct_rels),
+        with_full,
+    )
+
+
+def _rdf_mean(
+    pos, codes, n_codes, lengths, bin_size, n_bins, r_cut, relation_matrix,
+    code_counts_rows, code_counts_cols, exclude_self, with_full, dtype,
+    pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort="auto",
+    blocks=None,
+):
+    """Frame-averaged normalized RDF: returns (g_full or None, g_part).
+
+    ``blocks``: optional iterator of (pos_b, pos_cols_b|None, lengths_b)
+    host blocks for streaming ingestion (``pos``/``lengths`` then only
+    inform shapes — pass the first block). When None,
+    ``pos``/``pos_cols``/``lengths`` are full arrays. See
+    ``_make_rdf_mean_stream`` for the policy/runner structure and
+    ``_make_rdf_step`` for the per-frame math."""
+    stream = _make_rdf_mean_stream(
+        pos, codes, n_codes, lengths, bin_size, n_bins, r_cut,
+        relation_matrix, code_counts_rows, code_counts_cols, exclude_self,
+        with_full, dtype, pos_cols=pos_cols, codes_cols=codes_cols,
+        n_codes_cols=n_codes_cols, spatial_sort=spatial_sort,
+    )
     if blocks is None:
         blocks = _array_blocks(pos, lengths, pos_cols)
-    total = np.zeros(out_shape, np.float64)
-    T = 0
-    pending = None
-    cur_pol = None
-    run_block, n_pad_to = None, 1
     for pos_b, pc_b, len_b in blocks:
+        stream.fold(pos_b, pc_b, len_b)
+    return stream.result()
+
+
+class _RdfMeanStream:
+    """Push-model RDF frame-mean accumulator: ``fold`` one host block at
+    a time (per-block kernel-policy re-evaluation, double-buffered
+    device dispatch), ``result()`` for the frame mean. Built by
+    ``_rdf_mean`` (the pull wrapper) and by the shared-parse composite
+    pipeline (``mdproptools_tpu.pipeline``), which folds the SAME parsed
+    block into several property streams."""
+
+    def __init__(self, out_shape, dtype, runner_for, policy_for,
+                 with_full):
+        self.out_shape = out_shape
+        self.dtype = dtype
+        self._runner_for = runner_for
+        self._policy_for = policy_for
+        self.with_full = with_full
+        self.total = np.zeros(out_shape, np.float64)
+        self.T = 0
+        self._pending = None
+        self._cur_pol = None
+        self._run_block = None
+        self._n_pad_to = 1
+
+    def fold(self, pos_b, pc_b, len_b):
         v_min_b = float(np.prod(np.asarray(len_b), axis=1).min())
-        use_rel, sort_on, kept_est = _rdf_policy(
-            n_atoms_pol, v_min_b, r_cut, spatial_sort, use_pallas,
-            distinct_rels)
+        use_rel, sort_on, kept_est = self._policy_for(v_min_b)
         pol = (use_rel, sort_on)
         _policy_log.append((use_rel, sort_on, kept_est))
-        if pol != cur_pol:
-            if cur_pol is not None:
+        if pol != self._cur_pol:
+            if self._cur_pol is not None:
                 from mdproptools_tpu.utilities.tracing import logger
 
                 logger.info(
                     "rdf kernel policy switched at frame %d: %s -> %s "
                     "(box volume drift; kept_est=%.2f)",
-                    T, cur_pol, pol, kept_est)
-            run_block, n_pad_to = runner_for(pol)
-            cur_pol = pol
-        with stage("frame_block", start=T, frames=pos_b.shape[0]):
+                    self.T, self._cur_pol, pol, kept_est)
+            self._run_block, self._n_pad_to = self._runner_for(pol)
+            self._cur_pol = pol
+        with stage("frame_block", start=self.T, frames=pos_b.shape[0]):
             nb = pos_b.shape[0]
             pos_b, pc_b, len_b, w = _pad_block(pos_b, pc_b, len_b,
-                                               n_pad_to)
-            pb = jnp.asarray(pos_b, dtype)
-            pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
-            cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),
-                            jnp.asarray(w, dtype))
-            if pending is not None:
-                total += np.asarray(pending, np.float64)
-            pending = cur
-            T += nb
-    if pending is not None:
-        total += np.asarray(pending, np.float64)
-    if T == 0:
-        raise ValueError("no frames to average")
-    out = total / T
-    if with_full:
-        return out[0], out[1:]
-    return None, out
+                                               self._n_pad_to)
+            pb = jnp.asarray(pos_b, self.dtype)
+            pcb = pb if pc_b is None else jnp.asarray(pc_b, self.dtype)
+            cur = self._run_block(pb, pcb,
+                                  jnp.asarray(len_b, self.dtype),
+                                  jnp.asarray(w, self.dtype))
+            if self._pending is not None:
+                self.total += np.asarray(self._pending, np.float64)
+            self._pending = cur
+            self.T += nb
+
+    def result(self):
+        if self._pending is not None:
+            self.total += np.asarray(self._pending, np.float64)
+            self._pending = None
+        if self.T == 0:
+            raise ValueError("no frames to average")
+        out = self.total / self.T
+        if self.with_full:
+            return out[0], out[1:]
+        return None, out
 
 
 def _cn_mean(

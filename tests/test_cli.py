@@ -35,6 +35,27 @@ def test_cli_rdf_end_to_end(mg_tfsi_dme_dir, tmp_path, capsys):
     assert len(df) == 50
 
 
+def test_cli_analyze_composite(mg_tfsi_dme_dir, tmp_path, capsys):
+    import shutil
+
+    for ts in [0, 50000, 100000]:
+        shutil.copy(os.path.join(mg_tfsi_dme_dir, f"dump.nvt.{ts}.dump"),
+                    tmp_path)
+    rc = main([
+        "analyze",
+        "--dumps", "dump.nvt.*.dump",
+        "--num-types", "9",
+        "--mass", "16,12.01,1.008,14.01,32.06,16,12.01,19,24.305",
+        "--num-mols", "591,66,33", "--num-atoms-per-mol", "16,15,1",
+        "--r-cut", "5", "--bin-size", "0.1", "--relations", "8-1,9-1",
+        "--working-dir", str(tmp_path), "--precision", "strict",
+    ])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "rdf.csv")
+    captured = capsys.readouterr().out
+    assert "diffusion" in captured  # MSD leg printed calc_diff output
+
+
 def test_cli_relations_parsing():
     from mdproptools_tpu.cli import _relations, _shells
 

@@ -160,7 +160,7 @@ def _jax_setup():
     import logging
 
     logging.basicConfig(level=logging.INFO)
-    logging.getLogger("mdproptools_tpu").setLevel(logging.INFO)
+    logging.getLogger("mdproptools_tpu").setLevel(logging.DEBUG)
 
 
 def leg_rdf():
@@ -242,6 +242,44 @@ def leg_gk():
     })
 
 
+def leg_composite():
+    """RDF + MSD + GK from ONE parse (mdproptools_tpu.analyze): the
+    composite's honest single-chip wall — the separate legs each re-read
+    the 10,100 files, and the MSD/GK legs are parse-bound."""
+    _jax_setup()
+    from mdproptools_tpu import analyze
+
+    t0 = time.time()
+    out = analyze(
+        os.path.join(LINKS, "dump.ns.*.dump"), 9, MASS,
+        num_mols=NUM_MOLS, num_atoms_per_mol=NUM_APM,
+        rdf=dict(r_cut=20.0, bin_size=0.05, partial_relations=RELATIONS,
+                 save_mode=False),
+        msd=dict(msd_type="com", calc_diff=True),
+        conductivity=dict(volume=(49.182349 * 2) ** 2 * 49.182349,
+                          fit=False),
+        precision="fast", working_dir=LINKS,
+    )
+    wall = time.time() - t0
+    g_end = float(out["rdf"]["g_full(r)"].tail(20).mean())
+    assert abs(g_end - 1.0) < 0.05
+    assert np.isfinite(
+        out["diffusion"]["diffusion (m2/s)"].to_numpy()).all()
+    assert np.isfinite(out["integral"]).all()
+    _merge("composite_one_parse", {
+        "wall_s": round(wall, 1),
+        "frames_per_s": round(10100 / wall, 2),
+        "peak_host_rss_gb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
+        "g_full_at_r_cut": round(g_end, 4),
+        "note": ("mdproptools_tpu.analyze: one streamed parse feeds all "
+                 "three property streams; GK stops at the integral "
+                 "(fit=False — the replicated pseudo-dynamics has no "
+                 "physical plateau; the fit itself is millisecond host "
+                 "work)"),
+    })
+
+
 def main():
     leg = sys.argv[1] if len(sys.argv) > 1 else "all"
     if leg == "synth":
@@ -252,6 +290,8 @@ def main():
         leg_msd()
     elif leg == "gk":
         leg_gk()
+    elif leg == "composite":
+        leg_composite()
     elif leg == "all":
         synth()
         for sub in ("rdf", "msd", "gk"):

@@ -107,6 +107,22 @@ def main():
     corr = rt.calc_auto_correlation()
     print("Mg-O(DME) shell survival C(t) head:",
           corr["9-1"].to_numpy()[:4].round(4))
+
+    # ---- composite: one parse, all three properties ----------------------
+    # the shared-parse pipeline folds each parsed frame block into the
+    # RDF + MSD + GK streams at once (identical results, one file pass)
+    from mdproptools_tpu import analyze
+
+    composite = analyze(
+        "dump.nvt.*.dump", 9, MASS, num_mols=NUM_MOLS,
+        num_atoms_per_mol=NUM_APM,
+        rdf=dict(r_cut=20.0, bin_size=0.05,
+                 partial_relations=[[9], [1]], save_mode=False),
+        msd=dict(msd_type="com", calc_diff=False),
+        conductivity=dict(volume=49.18**3, fit=False),
+        precision="fast", working_dir=DATA,
+    )
+    print("composite keys:", sorted(composite))
     print(f"done; artifacts in {OUT}")
 
 

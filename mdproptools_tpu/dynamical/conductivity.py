@@ -388,6 +388,7 @@ class _FluxStream:
         self._j_parts = []
         self._timesteps = []
         self._masses = self._q = None
+        self._pending = None  # previous block's device flux, unfetched
 
     def fold(self, blk):
         c = self.c
@@ -404,15 +405,22 @@ class _FluxStream:
             self._q = blk.col("q")[0]
         vel_b = blk.cols(["vx", "vy", "vz"])  # (block, N, 3)
         with stage("charge_flux", frames=vel_b.shape[0]):
-            self._j_parts.append(np.asarray(
-                self._flux_fn(jnp.asarray(vel_b, self.dtype),
-                              jnp.asarray(self._q, self.dtype),
-                              jnp.asarray(self._masses, self.dtype)),
-                np.float64,
-            ))
+            # double-buffered: fetch the PREVIOUS block's (tiny) flux
+            # and leave this one's on device — the fold never waits for
+            # device work queued for the current block
+            cur = self._flux_fn(jnp.asarray(vel_b, self.dtype),
+                                jnp.asarray(self._q, self.dtype),
+                                jnp.asarray(self._masses, self.dtype))
+            if self._pending is not None:
+                self._j_parts.append(np.asarray(self._pending,
+                                                np.float64))
+            self._pending = cur
         self._timesteps.append(blk.timesteps)
 
     def finalize(self):
+        if self._pending is not None:
+            self._j_parts.append(np.asarray(self._pending, np.float64))
+            self._pending = None
         if not self._j_parts:
             raise ValueError("no frames folded")
         j = np.concatenate(self._j_parts)

@@ -105,17 +105,10 @@ class Diffusion:
         for any trajectory length (``msd``/``msd_int`` are streaming
         reductions either way).
         """
-        dtype = resolve_dtype(precision)
         wanted = ["id", "type", "x", "y", "z", "xu", "yu", "zu", "ix", "iy",
                   "iz", "mass"]
         pattern = f"{self.outputs_dir}/{filename}"
         available = peek_dump_columns(pattern)
-        if msd_type not in ("allatom", "com"):
-            raise ValueError("msd_type must be 'allatom' or 'com'.")
-        if msd_all_path is not None and msd_type != "allatom":
-            raise ValueError(
-                "msd_all_path streams the allatom per-atom table; the "
-                "com path's msd_all is O(T x M) and always in memory")
 
         # Streamed ingestion: the (T, N, 3) unwrapped block is reduced
         # per block — for msd_type="com" to (T, M, 3) molecular COMs
@@ -583,6 +576,7 @@ class _MsdStream:
         self.coords_parts = []
         self.ts_parts = []
         self.aa = None
+        self._pending = None  # previous block's device COMs, unfetched
 
     def fold(self, blk):
         if self.ids is None:  # frame-0 metadata
@@ -607,7 +601,14 @@ class _MsdStream:
                 jnp.asarray(self.system.mol_index),
                 self.system.n_molecules,
             )
-            self.coords_parts.append(np.asarray(com_b, np.float64))
+            # double-buffered: fetch the PREVIOUS block's (small) COM
+            # result and leave this block's on device, so the fold never
+            # synchronizes with device work queued for this block (the
+            # composite pipeline queues the RDF kernel just before)
+            if self._pending is not None:
+                self.coords_parts.append(
+                    np.asarray(self._pending, np.float64))
+            self._pending = com_b
         else:
             self.aa = self.d._allatom_stream_block(
                 self.aa, xu_b * self.dist, blk.timesteps, self.ids,
@@ -617,6 +618,9 @@ class _MsdStream:
     def finalize(self, com_drift=False, avg_interval=False):
         if not self.ts_parts:
             raise ValueError("no frames folded")
+        if self._pending is not None:
+            self.coords_parts.append(np.asarray(self._pending, np.float64))
+            self._pending = None
         time_s = (
             np.concatenate(self.ts_parts).astype(np.float64)
             * self.d.timestep

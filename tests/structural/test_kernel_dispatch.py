@@ -152,6 +152,31 @@ def test_npt_policy_switch_streaming(monkeypatch):
                                   np.asarray(want_rels))
 
 
+def test_periodic_tiling_preserves_rdf(system):
+    """g(r) of a 2x2x1 periodic replication equals the original g(r)
+    exactly (each atom's periodic environment is unchanged, counts and
+    N scale together) — validates the PBC/minimum-image handling and
+    the benchmark methodology that tiles the bundled box to the
+    north-star atom count."""
+    pos, codes, lengths, counts = system
+    L = lengths[0]
+    want_full, want_rels = rdf_cn._rdf_mean(
+        pos, codes, 3, lengths, 0.1, 40, 4.0, RELS, counts, counts,
+        exclude_self=True, with_full=True, dtype=jnp.float64)
+    shifts = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0)]
+    pos4 = np.concatenate(
+        [pos + (np.array(s) * L)[None, None, :] for s in shifts], axis=1)
+    codes4 = np.tile(codes, 4)
+    len4 = np.broadcast_to(L * np.array([2.0, 2.0, 1.0]),
+                           lengths.shape).copy()
+    counts4 = counts * 4
+    got_full, got_rels = rdf_cn._rdf_mean(
+        pos4, codes4, 3, len4, 0.1, 40, 4.0, RELS, counts4, counts4,
+        exclude_self=True, with_full=True, dtype=jnp.float64)
+    np.testing.assert_allclose(got_full, want_full, rtol=1e-12, atol=0)
+    np.testing.assert_allclose(got_rels, want_rels, rtol=1e-12, atol=0)
+
+
 def test_forced_cn_kernel_matches_dense(system, monkeypatch):
     pos, codes, lengths, counts = system
     r_cuts = np.array([3.0, 4.5])

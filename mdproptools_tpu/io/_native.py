@@ -82,16 +82,22 @@ def _load():
     return _LIB
 
 
-def parse_floats(text: str, ncols: int):
-    """Parse a whitespace-separated numeric table into (rows, ncols)
-    float64, or return None if the native library is unavailable or the
-    input is malformed (caller falls back)."""
+def parse_floats(text, ncols: int, max_rows=None):
+    """Parse a whitespace-separated numeric table (str or bytes) into
+    (rows, ncols) float64, or return None if the native library is
+    unavailable or the input is malformed (caller falls back). Callers
+    on the hot path pass bytes — the str round-trip (decode on read +
+    ascii re-encode here) costs more than the tokenizer itself — and
+    ``max_rows`` (the dump header's atom count; counting newlines to
+    bound the allocation costs a full extra pass over the body)."""
     lib = _load()
     if lib is None:
         return None
-    raw = text.encode("ascii", errors="strict")
-    # upper bound on rows: number of newlines + 1
-    max_rows = raw.count(b"\n") + 1
+    raw = (text if isinstance(text, bytes)
+           else text.encode("ascii", errors="strict"))
+    if max_rows is None:
+        # upper bound on rows: number of newlines + 1
+        max_rows = raw.count(b"\n") + 1
     out = np.empty((max_rows, ncols), np.float64)
     n = lib.mdpt_parse_table(
         raw,
@@ -105,12 +111,13 @@ def parse_floats(text: str, ncols: int):
     return out[:n]
 
 
-def parse_floats_cols(text: str, ncols: int, keep_idx):
-    """Parse only the columns in ``keep_idx`` of a whitespace table with
-    ``ncols`` tokens per row; skipped tokens are byte-scanned, not
-    converted. Returns (rows, len(keep_idx)) float64 with the columns in
-    the ORDER requested by ``keep_idx``, or None (caller falls back to
-    full parse + select). Raises ValueError on duplicate indices."""
+def parse_floats_cols(text, ncols: int, keep_idx, max_rows=None):
+    """Parse only the columns in ``keep_idx`` of a whitespace table
+    (str or bytes) with ``ncols`` tokens per row; skipped tokens are
+    never touched (the SIMD tokenizer jumps over them). Returns
+    (rows, len(keep_idx)) float64 with the columns in the ORDER
+    requested by ``keep_idx``, or None (caller falls back to full
+    parse + select). Raises ValueError on duplicate indices."""
     keep_idx = [int(k) for k in keep_idx]
     if len(set(keep_idx)) != len(keep_idx):
         raise ValueError(f"duplicate column indices in {keep_idx}")
@@ -120,8 +127,10 @@ def parse_floats_cols(text: str, ncols: int, keep_idx):
     mask = np.zeros(ncols, np.uint8)
     mask[keep_idx] = 1
     n_keep = int(mask.sum())
-    raw = text.encode("ascii", errors="strict")
-    max_rows = raw.count(b"\n") + 1
+    raw = (text if isinstance(text, bytes)
+           else text.encode("ascii", errors="strict"))
+    if max_rows is None:
+        max_rows = raw.count(b"\n") + 1
     out = np.empty((max_rows, n_keep), np.float64)
     n = lib.mdpt_parse_table_cols(
         raw,

@@ -105,26 +105,31 @@ def _sort_files_by_wildcard(pattern: str, files: List[str]) -> List[str]:
     return sorted(files, key=key)
 
 
-def _parse_body(text: str, ncols: int) -> np.ndarray:
-    """Parse the whitespace-separated ATOMS body into (N, ncols) float64."""
+def _parse_body(text: bytes, ncols: int,
+                max_rows: Optional[int] = None) -> np.ndarray:
+    """Parse the whitespace-separated ATOMS body into (N, ncols) float64.
+    ``max_rows`` is the header's atom count when known (saves the native
+    parser a newline-counting pass over the body)."""
     try:
         from mdproptools_tpu.io import _native
 
-        arr = _native.parse_floats(text, ncols)
+        arr = _native.parse_floats(text, ncols, max_rows=max_rows)
         if arr is not None:
             return arr
     except Exception:
         pass
     df = pd.read_csv(
-        _io.StringIO(text), sep=r"\s+", header=None, dtype=np.float64, engine="c"
+        _io.BytesIO(text), sep=r"\s+", header=None, dtype=np.float64, engine="c"
     )
     return df.to_numpy()
 
 
-def _sniff_str_columns(text: str, columns: List[str]) -> List[int]:
+def _sniff_str_columns(text: bytes, columns: List[str]) -> List[int]:
     """Indices of non-numeric columns, sniffed from the first body line
     (LAMMPS dump columns are homogeneously typed)."""
-    first = text.split("\n", 1)[0].split()
+    # NOT text.split(b"\n", 1): that would copy the multi-MB tail
+    nl = text.find(b"\n")
+    first = (text if nl == -1 else text[:nl]).split()
     out = []
     for k, tok in enumerate(first[: len(columns)]):
         try:
@@ -134,10 +139,10 @@ def _sniff_str_columns(text: str, columns: List[str]) -> List[int]:
     return out
 
 
-def _parse_mixed_body(text: str, columns: List[str], str_idx: List[int]):
+def _parse_mixed_body(text: bytes, columns: List[str], str_idx: List[int]):
     """Parse a body with string columns (e.g. ``element``): numeric
     columns -> (N, n_num) float64, string columns -> dict of (N,) str."""
-    df = pd.read_csv(_io.StringIO(text), sep=r"\s+", header=None,
+    df = pd.read_csv(_io.BytesIO(text), sep=r"\s+", header=None,
                      names=columns, engine="c")
     str_names = [columns[k] for k in str_idx]
     num_names = [c for c in columns if c not in str_names]
@@ -147,36 +152,42 @@ def _parse_mixed_body(text: str, columns: List[str], str_idx: List[int]):
 
 
 def parse_frames_from_text(
-    text: str, sort_by_id: bool = True,
+    text, sort_by_id: bool = True,
     columns_filter: Optional[Sequence[str]] = None,
 ) -> Iterator[Frame]:
-    """Parse every frame in a dump file's text.
+    """Parse every frame in a dump file's text (str or bytes; the file
+    reader passes bytes — a 4.5 MB frame costs ~7 ms of pure UTF-8
+    decode as str before any parsing, a third of the whole parse).
 
     ``columns_filter``: when given, only these numeric columns (plus
-    ``id`` when sorting) are converted — the native parser byte-scans
-    past the rest, skipping ~3/4 of the conversion work for the usual
-    5-of-19-column analyses. Frames then carry just the kept columns.
-    Ignored for bodies with string columns (the mixed path parses all)."""
+    ``id`` when sorting) are converted — the native parser's SIMD
+    tokenizer jumps past the rest, skipping ~3/4 of the conversion work
+    for the usual 5-of-19-column analyses. Frames then carry just the
+    kept columns. Ignored for bodies with string columns (the mixed
+    path parses all)."""
+    if isinstance(text, str):
+        text = text.encode("utf-8", errors="strict")
     pos = 0
     n = len(text)
     while True:
-        ts_at = text.find("ITEM: TIMESTEP", pos)
+        ts_at = text.find(b"ITEM: TIMESTEP", pos)
         if ts_at == -1:
             break
         # timestep value on the next line
-        line_start = text.index("\n", ts_at) + 1
-        line_end = text.index("\n", line_start)
+        line_start = text.index(b"\n", ts_at) + 1
+        line_end = text.index(b"\n", line_start)
         timestep = int(text[line_start:line_end].strip())
 
-        na_at = text.index("ITEM: NUMBER OF ATOMS", line_end)
-        line_start = text.index("\n", na_at) + 1
-        line_end = text.index("\n", line_start)
+        na_at = text.index(b"ITEM: NUMBER OF ATOMS", line_end)
+        line_start = text.index(b"\n", na_at) + 1
+        line_end = text.index(b"\n", line_start)
         natoms = int(text[line_start:line_end].strip())
 
-        bb_at = text.index("ITEM: BOX BOUNDS", line_end)
-        bb_header_end = text.index("\n", bb_at)
+        bb_at = text.index(b"ITEM: BOX BOUNDS", line_end)
+        bb_header_end = text.index(b"\n", bb_at)
         bb_header = text[bb_at:bb_header_end]
-        flags = bb_header.replace("ITEM: BOX BOUNDS", "").split()
+        flags = [f.decode() for f in
+                 bb_header.replace(b"ITEM: BOX BOUNDS", b"").split()]
         triclinic = any(f in ("xy", "xz", "yz") for f in flags)
         periodic = tuple(f == "pp" for f in flags if f in ("pp", "ff", "sf", "fm", "p", "f"))
         if len(periodic) != 3:
@@ -195,7 +206,7 @@ def parse_frames_from_text(
         tilt = np.zeros(3) if triclinic else None
         cursor = bb_header_end + 1
         for ax in range(3):
-            line_end = text.index("\n", cursor)
+            line_end = text.index(b"\n", cursor)
             parts = text[cursor:line_end].split()
             bounds[ax, 0] = float(parts[0])
             bounds[ax, 1] = float(parts[1])
@@ -203,11 +214,13 @@ def parse_frames_from_text(
                 tilt[ax] = float(parts[2])
             cursor = line_end + 1
 
-        at_at = text.index("ITEM: ATOMS", cursor)
-        at_header_end = text.index("\n", at_at)
-        columns = text[at_at:at_header_end].replace("ITEM: ATOMS", "").split()
+        at_at = text.index(b"ITEM: ATOMS", cursor)
+        at_header_end = text.index(b"\n", at_at)
+        columns = [c.decode() for c in
+                   text[at_at:at_header_end].replace(b"ITEM: ATOMS",
+                                                     b"").split()]
         body_start = at_header_end + 1
-        next_item = text.find("ITEM: TIMESTEP", body_start)
+        next_item = text.find(b"ITEM: TIMESTEP", body_start)
         body_end = next_item if next_item != -1 else n
         body = text[body_start:body_end]
         if columns_filter is not None:
@@ -232,15 +245,20 @@ def parse_frames_from_text(
                 try:
                     from mdproptools_tpu.io import _native
 
+                    # natoms + 1, not natoms: a malformed body with
+                    # EXTRA rows must overrun the expected count so the
+                    # shape check below still catches it (at natoms the
+                    # parser would clamp and silently drop the excess)
                     data = _native.parse_floats_cols(
-                        body, len(columns), keep_idx)
+                        body, len(columns), keep_idx, max_rows=natoms + 1)
                 except Exception:
                     data = None
             if data is None:
-                data = _parse_body(body, len(columns))[:, keep_idx]
+                data = _parse_body(body, len(columns),
+                                   max_rows=natoms + 1)[:, keep_idx]
         else:
             num_columns, str_data = columns, {}
-            data = _parse_body(body, len(columns))
+            data = _parse_body(body, len(columns), max_rows=natoms + 1)
         if data.shape[0] != natoms:
             raise ValueError(
                 f"dump frame at timestep {timestep}: expected {natoms} atoms, "
@@ -273,7 +291,7 @@ def parse_lammps_dumps(
         raise FileNotFoundError(f"no dump files match {pattern!r}")
 
     def load(f):
-        with open(f, "r") as fh:
+        with open(f, "rb") as fh:  # bytes: skip the UTF-8 decode pass
             text = fh.read()
         return list(parse_frames_from_text(
             text, sort_by_id=sort_by_id, columns_filter=columns))

@@ -136,7 +136,10 @@ class Conductivity:
         trajectory length (the per-type flux series itself is tiny)."""
         pattern = f"{self.working_dir}/{self.filename}"
         available = peek_dump_columns(pattern)
-        wanted = ["id", "type", "q", "mass", "vx", "vy", "vz"]
+        # minimal parse: masses come from the ``mass`` arg (mapped via
+        # the type column) or the dump's mass column, never both
+        wanted = ["id", "q", "vx", "vy", "vz"]
+        wanted.insert(1, "type" if self.mass is not None else "mass")
         stream = self.flux_stream()
         for blk in iter_trajectory_blocks(
             pattern, columns=[c for c in wanted if c in available]
@@ -290,9 +293,13 @@ class Conductivity:
 
         pattern = f"{self.working_dir}/{self.filename}"
         available = peek_dump_columns(pattern)
-        wanted = ["id", "type", "q", "x", "y", "z", "xu", "yu", "zu",
-                  "ix", "iy", "iz"]
         from mdproptools_tpu.dynamical.diffusion import Diffusion
+
+        wanted = ["id", "q"]
+        if {"xu", "yu", "zu"} <= set(available):
+            wanted += ["xu", "yu", "zu"]  # skip the wrapped fallback
+        else:
+            wanted += ["x", "y", "z", "xu", "yu", "zu", "ix", "iy", "iz"]
 
         dconv = constants.DISTANCE_CONVERSION[self.units]
         qconv = constants.CHARGE_CONVERSION[self.units]

@@ -80,6 +80,28 @@ class Diffusion:
         img = traj.cols(["ix", "iy", "iz"])
         return pos + img * traj.box_lengths[:, None, :]
 
+    @staticmethod
+    def _msd_columns(available, msd_type, mass):
+        """Minimal dump columns for the MSD path — the parse is the MSD
+        leg's dominant cost at scale (the native parser converts only
+        the requested columns), so skip x/y/z + images whenever xu/yu/zu
+        are present and type/mass unless the COM mass lookup needs them.
+        When unwrapped coords are incomplete, request every fallback
+        column that exists so ``_unwrapped_coords`` raises its specific
+        missing-column error rather than a generic one."""
+        wanted = ["id"]
+        if msd_type == "com":
+            if mass is not None:
+                wanted.append("type")  # map mass[type - 1]
+            else:
+                wanted.append("mass")
+        avail = set(available)
+        if {"xu", "yu", "zu"} <= avail:
+            wanted += ["xu", "yu", "zu"]
+        else:
+            wanted += ["x", "y", "z", "xu", "yu", "zu", "ix", "iy", "iz"]
+        return wanted
+
     def get_msd_from_dump(
         self,
         filename,
@@ -105,10 +127,9 @@ class Diffusion:
         for any trajectory length (``msd``/``msd_int`` are streaming
         reductions either way).
         """
-        wanted = ["id", "type", "x", "y", "z", "xu", "yu", "zu", "ix", "iy",
-                  "iz", "mass"]
         pattern = f"{self.outputs_dir}/{filename}"
         available = peek_dump_columns(pattern)
+        wanted = self._msd_columns(available, msd_type, mass)
 
         # Streamed ingestion: the (T, N, 3) unwrapped block is reduced
         # per block — for msd_type="com" to (T, M, 3) molecular COMs

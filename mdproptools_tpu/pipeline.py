@@ -73,10 +73,19 @@ def analyze(
     if rdf:
         wanted |= {"x", "y", "z"}
     if msd:
-        wanted |= {"x", "y", "z", "xu", "yu", "zu", "ix", "iy", "iz",
-                   "mass"}
+        # parse is the MSD leg's dominant cost at scale: skip the
+        # wrapped x/y/z + image fallback whenever xu/yu/zu exist
+        # (mass comes from the shared ``mass`` arg when given)
+        if {"xu", "yu", "zu"} <= set(available):
+            wanted |= {"xu", "yu", "zu"}
+        else:
+            wanted |= {"x", "y", "z", "xu", "yu", "zu", "ix", "iy", "iz"}
+        if mass is None:
+            wanted |= {"mass"}
     if conductivity:
-        wanted |= {"q", "mass", "vx", "vy", "vz"}
+        wanted |= {"q", "vx", "vy", "vz"}
+        if mass is None:
+            wanted |= {"mass"}
     columns = [c for c in ["id", "mol", "type", "q", "mass", "x", "y",
                            "z", "xu", "yu", "zu", "ix", "iy", "iz",
                            "vx", "vy", "vz"]

@@ -68,17 +68,23 @@ class Molecule:
     def from_file(cls, filename: str) -> "Molecule":
         """Read a molecule from a file by extension.
 
-        KNOWN LIMIT vs the reference: pymatgen's ``Molecule.from_file``
-        (used at ``cluster_analysis.py:341``) accepts further formats
-        (mol/sdf/gjf/...) via openbabel; this parser covers XYZ and PDB
-        — the two formats the reference's own tests and bundled data
-        exercise. Other formats raise ValueError; convert externally.
+        Covers the plain-text formats pymatgen's ``Molecule.from_file``
+        (used at ``cluster_analysis.py:341``) reads without openbabel:
+        XYZ, PDB, Gaussian input (gjf/com/g03/g09/g16), MDL mol/sdf
+        (V2000) and pymatgen-style JSON. Openbabel-only binary/esoteric
+        formats raise ValueError; convert externally.
         """
         low = filename.lower()
         if low.endswith(".xyz"):
             return cls.from_xyz(filename)
         if low.endswith(".pdb"):
             return cls.from_pdb(filename)
+        if low.endswith((".gjf", ".com", ".g03", ".g09", ".g16", ".inp")):
+            return cls.from_gaussian_input(filename)
+        if low.endswith((".mol", ".sdf")):
+            return cls.from_mol(filename)
+        if low.endswith(".json"):
+            return cls.from_json(filename)
         raise ValueError(f"unsupported molecule file format: {filename}")
 
     @classmethod
@@ -120,6 +126,80 @@ class Molecule:
                         )[:2].capitalize()
                     species.append(elem)
                     coords.append([x, y, z])
+        return cls(species, np.array(coords))
+
+    @classmethod
+    def from_gaussian_input(cls, filename: str) -> "Molecule":
+        """Gaussian input: link0/route section, blank line, title, blank
+        line, charge+multiplicity line, then ``El x y z`` rows until a
+        blank line."""
+        with open(filename) as fh:
+            lines = fh.read().splitlines()
+
+        def _is_charge_mult(line):
+            parts = line.split()
+            if len(parts) != 2:
+                return False
+            try:
+                int(parts[0]), int(parts[1])
+                return True
+            except ValueError:
+                return False
+
+        # anchor on the charge/multiplicity line (two bare integers)
+        # rather than counting the blank-separated link0/route/title
+        # sections — robust to missing or folded sections
+        i = next((k + 1 for k, line in enumerate(lines)
+                  if _is_charge_mult(line)), 0)
+        species, coords = [], []
+        for line in lines[i:]:
+            parts = line.split()
+            if len(parts) < 4:
+                break
+            try:
+                xyz = [float(parts[1]), float(parts[2]), float(parts[3])]
+            except ValueError:
+                break
+            # element may carry Gaussian decorations (C(Fragment=1), C-0)
+            el = parts[0].split("(")[0].split("-")[0]
+            species.append(el)
+            coords.append(xyz)
+        if not species:
+            raise ValueError(f"no atoms parsed from {filename}")
+        return cls(species, np.array(coords))
+
+    @classmethod
+    def from_mol(cls, filename: str) -> "Molecule":
+        """MDL mol/sdf (V2000): counts on line 4, then natoms rows of
+        ``x y z El ...``."""
+        with open(filename) as fh:
+            lines = fh.read().splitlines()
+        if len(lines) < 4:
+            raise ValueError(f"truncated mol file: {filename}")
+        n = int(lines[3][:3])
+        species, coords = [], []
+        for line in lines[4 : 4 + n]:
+            parts = line.split()
+            species.append(parts[3])
+            coords.append([float(parts[0]), float(parts[1]),
+                           float(parts[2])])
+        return cls(species, np.array(coords))
+
+    @classmethod
+    def from_json(cls, filename: str) -> "Molecule":
+        """pymatgen ``Molecule.as_dict()`` JSON: ``sites`` list with
+        per-site ``species`` (element + occupancy) and ``xyz``."""
+        import json as _json
+
+        with open(filename) as fh:
+            d = _json.load(fh)
+        sites = d["sites"] if isinstance(d, dict) else d
+        species, coords = [], []
+        for s in sites:
+            sp = s["species"]
+            species.append(sp[0]["element"] if isinstance(sp, list)
+                           else str(sp))
+            coords.append([float(v) for v in s["xyz"]])
         return cls(species, np.array(coords))
 
     def to_xyz(self, filename: str, comment: str = "") -> None:

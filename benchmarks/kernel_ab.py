@@ -77,5 +77,71 @@ def main():
         assert exact, "tail-walk kernel != ceil-walk kernel"
 
 
+def main_dispatch():
+    """rel kernel vs type-block kernel WITH in-kernel column compaction
+    (the round-3 addition: compaction ported to the type-block kernel,
+    which pays no per-pair relation-mask cost because tiles are
+    single-typed). Bit-equality of the normalized RDF rows is asserted
+    across kernels (both are exact-count schemes)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(HERE), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from mdproptools_tpu.io.lammps_dump import read_trajectory
+    from mdproptools_tpu.structural import rdf_cn
+    from mdproptools_tpu.utilities.benchmarking import (
+        steady_state_seconds_per_frame,
+    )
+
+    traj = read_trajectory(DATA, columns=["id", "type", "x", "y", "z"])
+    codes1 = traj.col("type")[0].astype(np.int64)
+    pos1 = traj.cols(["x", "y", "z"])[0]
+    L1 = traj.box_lengths[0]
+
+    for reps in [(2, 2, 1), (2, 2, 2)]:
+        shifts = [(i, j, k) for i in range(reps[0])
+                  for j in range(reps[1]) for k in range(reps[2])]
+        pos = np.concatenate([pos1 + np.array(s) * L1 for s in shifts])
+        codes = np.tile(codes1, len(shifts))
+        L = L1 * np.array(reps)
+        counts = np.bincount(codes - 1, minlength=9).astype(np.float64)
+
+        def run(T):
+            posT = np.broadcast_to(pos, (T,) + pos.shape).copy()
+            lenT = np.broadcast_to(L, (T, 3)).copy()
+            return rdf_cn._rdf_mean(
+                posT, codes, 9, lenT, 0.05, 400, 20.0, RELATIONS,
+                counts, counts, exclude_self=True, with_full=True,
+                dtype=jnp.float32,
+            )
+
+        results = {}
+        for name in ("rel", "type-block"):
+            rdf_cn._FORCE_KERNEL = name
+            rdf_cn._STEP_CACHE.clear()
+            dt, noisy, (g_full, g_part) = steady_state_seconds_per_frame(
+                run, t_small=2, t_big=8, repeats=2)
+            results[name] = {
+                "ms": round(dt * 1000.0, 1),
+                "hist": (np.asarray(g_full, np.float64),
+                         np.asarray(g_part, np.float64)),
+            }
+            print(json.dumps({"atoms": len(codes), "kernel": name,
+                              "ms_per_frame": results[name]["ms"],
+                              "noise_limited": bool(noisy)}), flush=True)
+        rdf_cn._FORCE_KERNEL = None
+        a, b = results["rel"]["hist"], results["type-block"]["hist"]
+        exact = (np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1]))
+        print(json.dumps({"atoms": len(codes), "bit_equal": bool(exact)}),
+              flush=True)
+        assert exact, "type-block kernel != rel kernel"
+
+
 if __name__ == "__main__":
-    main()
+    if "dispatch" in sys.argv[1:]:
+        main_dispatch()
+    else:
+        main()

@@ -266,6 +266,7 @@ def pair_hist_rows(
     triangle: bool = False,
     row_tiles=None,
     interpret: bool = False,
+    compact_cols: bool = False,
 ):
     """Row-chunk-level ordered-pair histogram. ``pair_hist`` wraps this
     with the full row set; the sharded path (``mdproptools_tpu.parallel``)
@@ -292,6 +293,7 @@ def pair_hist_rows(
             pos_r, idx_r, chunk_codes, pos_c, layout_c, n_codes_r,
             lengths, bin_size, n_bins, r_cut, exclude_self, idx_c=idx_c,
             triangle=triangle, row_tiles=row_tiles, interpret=interpret,
+            compact_cols=compact_cols,
         )
     if triangle:
         raise ValueError(f"triangle mode requires the pallas path, "

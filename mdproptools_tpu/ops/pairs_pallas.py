@@ -187,9 +187,11 @@ def _kernel(
     r_cut,
     exclude_self,
     triangle,
+    compact_cols=False,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    tail_on = compact_cols and C_GROUP > TAIL_GROUP
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -263,36 +265,100 @@ def _kernel(
             # chain, so the dots pipeline); a lane roll walks the tile.
             # fori_loop (not a full static unroll) so Mosaic reuses
             # scratch buffers.
-            def group_body(g, carry):
-                hi_c, lo_c, accs = carry
-                new_accs = []
-                for q in range(C_GROUP):
-                    oh_hi = (hi_c[:, q:q + 1] == iota_hi).astype(
-                        jnp.bfloat16)
-                    oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
-                        jnp.bfloat16)
-                    new_accs.append(accs[q] + jax.lax.dot_general(
-                        oh_hi,
-                        oh_lo,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
+            def make_group_body(width):
+                def group_body(g, carry):
+                    hi_c, lo_c, accs = carry
+                    new_accs = []
+                    for q in range(width):
+                        oh_hi = (hi_c[:, q:q + 1] == iota_hi).astype(
+                            jnp.bfloat16)
+                        oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
+                            jnp.bfloat16)
+                        new_accs.append(accs[q] + jax.lax.dot_general(
+                            oh_hi,
+                            oh_lo,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))  # (H_SUB, F)
+                    return (
+                        pltpu.roll(hi_c, F - width, 1),
+                        pltpu.roll(lo_c, F - width, 1),
+                        tuple(new_accs),
+                    )
+
+                return group_body
+
+            if compact_cols:
+                # Column compaction (see the rel kernel for the full
+                # rationale): pack columns with >= 1 valid pair to the
+                # front via a one-hot permutation matmul (hi/lo < 256,
+                # exact in bf16) and walk only ceil(n_act) columns.
+                # Invalid pairs carry hi = H_SUB (all-zero oh_hi row),
+                # so only hi needs re-masking where the permutation
+                # yields empty columns (they produce hi = 0, a real
+                # row); garbage lo there is harmless under a zero
+                # oh_hi.
+                act = jnp.max(valid.astype(jnp.int32), axis=0,
+                              keepdims=True)  # (1, F)
+                ps = act  # inclusive lane prefix sum by log2 F rolls
+                lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+                s = 1
+                while s < F:
+                    ps = ps + jnp.where(lane1 >= s,
+                                        pltpu.roll(ps, s, 1), 0)
+                    s *= 2
+                n_act = jnp.sum(act)  # scalar trip-count source
+                dst_t = (ps - 1).reshape(1, F).T  # (F, 1)
+                act_t = act.reshape(1, F).T
+                iota_ff = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
+                perm = ((iota_ff == dst_t) & (act_t > 0)).astype(
+                    jnp.bfloat16)
+
+                def _permute(a):
+                    return jax.lax.dot_general(
+                        a.astype(jnp.bfloat16), perm,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ))  # (H_SUB, F)
-                return (
-                    pltpu.roll(hi_c, F - C_GROUP, 1),
-                    pltpu.roll(lo_c, F - C_GROUP, 1),
-                    tuple(new_accs),
-                )
+                    ).astype(jnp.int32)
+
+                lane_mask = iota_lo < n_act
+                lo_t = _permute(lo_t)
+                hi_t = jnp.where(lane_mask, _permute(hi_t),
+                                 jnp.int32(H_SUB))
+                n_grp = n_act // jnp.int32(C_GROUP)
+                rem = n_act - n_grp * jnp.int32(C_GROUP)
+                if tail_on:
+                    n_tail = ((rem + jnp.int32(TAIL_GROUP - 1))
+                              // jnp.int32(TAIL_GROUP))
+                else:
+                    n_grp = ((n_act + jnp.int32(C_GROUP - 1))
+                             // jnp.int32(C_GROUP))
+                    n_tail = None
+            else:
+                n_grp = F // C_GROUP
+                n_tail = None
 
             accs0 = tuple(
                 jnp.zeros((H_SUB, F), jnp.float32)
                 for _ in range(C_GROUP)
             )
-            _, _, accs = jax.lax.fori_loop(
-                0, F // C_GROUP, group_body, (hi_t, lo_t, accs0)
+            hi_a, lo_a, accs = jax.lax.fori_loop(
+                0, n_grp, make_group_body(C_GROUP), (hi_t, lo_t, accs0)
             )
             total = accs[0]
             for a in accs[1:]:
                 total = total + a
+            if n_tail is not None:
+                tail_accs0 = tuple(
+                    jnp.zeros((H_SUB, F), jnp.float32)
+                    for _ in range(TAIL_GROUP)
+                )
+                _, _, tail_accs = jax.lax.fori_loop(
+                    0, n_tail, make_group_body(TAIL_GROUP),
+                    (hi_a, lo_a, tail_accs0)
+                )
+                for a in tail_accs:
+                    total = total + a
             row = (ta * n_codes_c + tb) * H_SUB
             cur = out_ref[pl.ds(row, H_SUB), :]
             out_ref[pl.ds(row, H_SUB), :] = cur + total
@@ -320,8 +386,18 @@ def pair_hist_rows_pallas(
     idx_c=None,
     triangle: bool = False,
     row_tiles=None,
+    compact_cols: bool = False,
 ):
     """Pallas implementation of ``pairs.pair_hist_rows`` (f32).
+
+    ``compact_cols``: in-kernel column compaction (identical scheme to
+    the relation kernel — active columns front-packed by a one-hot
+    permutation matmul, dots walked only to n_act in main+tail groups).
+    Only pays when the layout is spatially sorted within type blocks
+    (``pairs.device_sort_perm``): then kept tiles near the cull boundary
+    have most columns out of range, and skipping their dots converts the
+    tile-granularity dilation into column-granularity. Exact: results
+    are bit-identical with it on or off.
 
     Returns (n_codes_r, n_codes_c, n_bins) float32. ``interpret`` runs
     the kernel in the Pallas interpreter (CPU test path). ``idx_c``
@@ -421,6 +497,7 @@ def pair_hist_rows_pallas(
         r_cut=float(r_cut),
         exclude_self=bool(exclude_self),
         triangle=bool(triangle),
+        compact_cols=bool(compact_cols),
     )
     chunk_codes = chunk_codes.astype(jnp.int32)
 

@@ -456,8 +456,11 @@ def _rdf_policy(n_atoms, v_min, r_cut, spatial_sort, use_pallas,
     in-kernel column compaction skips the all-invalid columns inside
     kept tiles. Measured on v5e at 400 bins + 4 partials, rel vs
     type-block ms/frame: 10.5k atoms 90 vs 72 (kept_est 2.25); 21k
-    167 vs 186 (kept_est 1.12); 42k 338 vs 560 (0.56); 84k 692 vs
-    1679 (0.33). Crossover between 10.5k and 21k -> kept_est 1.2.
+    167 vs 186 (kept_est 1.12); 42k 275 vs 296 (0.56); 84k 582 vs
+    683 (0.33) — type-block numbers with its own column compaction
+    (engaged when sorted; it was 560/1679 without), rel with the
+    main+tail column walk. Crossover between 10.5k and 21k ->
+    kept_est 1.2, unchanged: rel stays ahead wherever sorting pays.
 
     Evaluated PER FRAME BLOCK (NPT boxes drift): `_rdf_mean` regroups
     blocks by the (use_rel, sort_on) decision so the dispatch follows
@@ -601,6 +604,9 @@ def _make_rdf_step(
                 bin_size=bin_size, n_bins=n_bins, r_cut=r_cut,
                 exclude_self=exclude_self, dtype=sdtype, idx_c=pm,
                 method=method, triangle=triangle, interpret=interpret,
+                # compaction only pays when tiles are spatially compact
+                # (the within-type-block sort); exact either way
+                compact_cols=sort_on,
             ).astype(sdtype)
             full, rels = pair_ops.project_relations(
                 hist, relation_matrix, with_full)

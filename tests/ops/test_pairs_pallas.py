@@ -9,8 +9,10 @@ from mdproptools_tpu.ops import pairs as pair_ops
 from mdproptools_tpu.ops.pairs_pallas import pair_hist_rows_pallas
 
 
-@pytest.mark.parametrize("exclude_self", [True, False])
-def test_pallas_matches_scatter(exclude_self):
+@pytest.mark.parametrize("exclude_self,compact_cols", [
+    (True, False), (False, False), (True, True), (False, True),
+])
+def test_pallas_matches_scatter(exclude_self, compact_cols):
     rng = np.random.default_rng(5)
     n, box = 300, 11.0
     pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
@@ -24,6 +26,7 @@ def test_pallas_matches_scatter(exclude_self):
         jnp.asarray(lay.perm).reshape(nc, pair_ops.LANE).astype(jnp.int32),
         jnp.asarray(lay.chunk_codes, jnp.int32),
         pp, lay, 3, L, 0.05, 400, 5.0, exclude_self, interpret=True,
+        compact_cols=compact_cols,
     ))
     want = np.asarray(pair_ops.pair_hist(
         pp, pp, lay, lay, L, 0.05, 400, 5.0, exclude_self,
@@ -90,9 +93,11 @@ def test_pallas_triangle_device_sort_matches_scatter():
     np.testing.assert_array_equal(got, want)
 
 
-def test_pallas_spatial_sort_matches_scatter():
+@pytest.mark.parametrize("compact_cols", [False, True])
+def test_pallas_spatial_sort_matches_scatter(compact_cols):
     """Spatially-sorted per-frame permutation + culling must not change
-    results (cull is conservative)."""
+    results (cull is conservative); in-kernel column compaction
+    (``compact_cols``) is exact on or off."""
     rng = np.random.default_rng(9)
     n, box = 520, 30.0
     pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
@@ -111,7 +116,7 @@ def test_pallas_spatial_sort_matches_scatter():
         jnp.asarray(perm).reshape(nc, pair_ops.LANE).astype(jnp.int32),
         jnp.asarray(lay.chunk_codes, jnp.int32),
         pp, lay, 3, L, 0.05, 200, 8.0, True, interpret=True,
-        idx_c=jnp.asarray(perm),
+        idx_c=jnp.asarray(perm), compact_cols=compact_cols,
     ))
     # reference: unsorted layout, scatter path
     pp0 = pair_ops.gather_padded(jnp.asarray(pos), lay)

@@ -25,6 +25,11 @@ Precision policy: every device op takes ``precision={"fast","strict"}``.
 (bit-parity with the reference's NumPy math; used by the test suite).
 """
 
+from mdproptools_tpu.utilities.host import tune_malloc_for_streaming as _tune
+
+_tune()  # heap-recycle block buffers (see utilities/host.py)
+del _tune
+
 from mdproptools_tpu import common, dynamical, io, ops, parallel, structural, utilities
 from mdproptools_tpu.pipeline import analyze
 

@@ -404,12 +404,14 @@ class _FluxStream:
                 types = blk.col("type")[0].astype(np.int64)
                 self._masses = np.asarray(c.mass, np.float64)[types - 1]
             elif blk.has("mass"):
-                self._masses = blk.col("mass")[0]
+                # copy: col() is a view into the recycled block
+                # buffer (io._BlockBufferPool)
+                self._masses = blk.col("mass")[0].copy()
             else:
                 raise AssertionError("Missing atom masses in dump file.")
             if not blk.has("q"):
                 raise AssertionError("Missing atom charges in dump file.")
-            self._q = blk.col("q")[0]
+            self._q = blk.col("q")[0].copy()
         vel_b = blk.cols(["vx", "vy", "vz"])  # (block, N, 3)
         with stage("charge_flux", frames=vel_b.shape[0]):
             # double-buffered: fetch the PREVIOUS block's (tiny) flux

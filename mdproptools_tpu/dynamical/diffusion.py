@@ -598,6 +598,7 @@ class _MsdStream:
         self.ts_parts = []
         self.aa = None
         self._pending = None  # previous block's device COMs, unfetched
+        self._com_fn = None  # jitted per-block COM program (com path)
 
     def fold(self, blk):
         if self.ids is None:  # frame-0 metadata
@@ -611,17 +612,27 @@ class _MsdStream:
                     self.masses = np.asarray(self.mass,
                                              np.float64)[types - 1]
                 elif blk.has("mass"):
-                    self.masses = blk.col("mass")[0]
+                    # copy: col() is a view into the recycled
+                    # block buffer (io._BlockBufferPool)
+                    self.masses = blk.col("mass")[0].copy()
                 else:
                     raise AssertionError("Missing atom masses in dump file.")
         xu_b = Diffusion._unwrapped_coords(blk)  # (block, N, 3)
         if self.msd_type == "com":
-            com_b = com_ops.segment_com(
-                jnp.asarray(xu_b, self.dtype),
-                jnp.asarray(self.masses, self.dtype),
-                jnp.asarray(self.system.mol_index),
-                self.system.n_molecules,
-            )
+            if self._com_fn is None:
+                # jit ONCE with masses/segments as captured device
+                # constants: the unjitted segment_com dispatched ~10
+                # eager ops per block through the (high-latency) device
+                # tunnel, which dominated the streaming fold
+                import jax
+
+                masses_d = jnp.asarray(self.masses, self.dtype)
+                mol_index_d = jnp.asarray(self.system.mol_index)
+                n_mol = self.system.n_molecules
+                self._com_fn = jax.jit(
+                    lambda xu: com_ops.segment_com(
+                        xu, masses_d, mol_index_d, n_mol))
+            com_b = self._com_fn(jnp.asarray(xu_b, self.dtype))
             # double-buffered: fetch the PREVIOUS block's (small) COM
             # result and leave this block's on device, so the fold never
             # synchronizes with device work queued for this block (the

@@ -19,6 +19,8 @@ import glob as _glob
 import io as _io
 import os
 import re
+import sys
+import threading
 from itertools import islice as _islice
 from dataclasses import dataclass, field
 from typing import Iterator, List, Optional, Sequence, Tuple
@@ -389,6 +391,43 @@ def peek_dump_columns(pattern: str) -> List[str]:
     raise ValueError(f"no ATOMS section in {files[0]!r}")
 
 
+class _BlockBufferPool:
+    """Recycle the O(block x N x C) stacked-block buffers.
+
+    On the virtualized hosts this package targets, first-touch page
+    faults on a freshly mapped buffer can run ~100x slower than a warm
+    write (see ``utilities/host.py``); glibc heap recycling alone is
+    hit-or-miss for these ~200 MB chunks once the heap fragments
+    (measured: the per-block stack alternated 0.2 s / 10-22 s at
+    10k-frame scale). This pool makes the reuse deterministic: a buffer
+    is handed out again ONLY when nothing outside the pool references
+    it (refcount guard), so a consumer that legitimately retains the
+    yielded ``Trajectory`` (or any view into it) simply pins that
+    buffer and the pool allocates another — correctness never depends
+    on consumer discipline."""
+
+    _MAX = 8  # distinct pinned/in-flight buffers before oldest is dropped
+
+    def __init__(self):
+        self._bufs: List[np.ndarray] = []
+        self._lock = threading.Lock()
+
+    def get(self, shape) -> np.ndarray:
+        with self._lock:
+            for b in self._bufs:
+                # refs: pool list + loop binding + getrefcount argument
+                if b.shape == shape and sys.getrefcount(b) == 3:
+                    return b
+            b = np.empty(shape, np.float64)
+            self._bufs.append(b)
+            if len(self._bufs) > self._MAX:
+                self._bufs.pop(0)
+            return b
+
+
+_block_pool = _BlockBufferPool()
+
+
 def _stack_frames(frames: List[Frame],
                   columns: Optional[Sequence[str]]) -> Trajectory:
     keep = list(columns) if columns is not None else list(frames[0].columns)
@@ -400,7 +439,7 @@ def _stack_frames(frames: List[Frame],
             "read them via Frame.col()"
         )
     n_atoms = frames[0].natoms
-    data = np.empty((len(frames), n_atoms, len(keep)), np.float64)
+    data = _block_pool.get((len(frames), n_atoms, len(keep)))
     timesteps = np.empty(len(frames), np.int64)
     box_bounds = np.empty((len(frames), 3, 2), np.float64)
     for t, fr in enumerate(frames):

@@ -910,6 +910,9 @@ def _cn_mean(
                             dtype, runners=runners)
 
 
+_segment_com_jit = jax.jit(com_ops.segment_com, static_argnums=(3,))
+
+
 def _mol_coms(traj: Trajectory, system: System, mass, dtype):
     """Per-frame molecular centers of mass from *wrapped* x,y,z — the
     reference's convention in ``_define_mol_cols`` (``rdf_cn.py:218-241``).
@@ -917,7 +920,9 @@ def _mol_coms(traj: Trajectory, system: System, mass, dtype):
     types = traj.data[0, :, traj.columns.index("type")].astype(np.int64)
     masses = np.asarray(mass, np.float64)[types - 1]
     pos = traj.cols(["x", "y", "z"])
-    out = com_ops.segment_com(
+    # jitted (cached on shapes): the eager form dispatched ~10 ops per
+    # block through the device tunnel
+    out = _segment_com_jit(
         jnp.asarray(pos, dtype),
         jnp.asarray(masses, dtype),
         jnp.asarray(system.mol_index),

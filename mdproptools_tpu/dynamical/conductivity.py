@@ -395,7 +395,6 @@ class _FluxStream:
         self._j_parts = []
         self._timesteps = []
         self._masses = self._q = None
-        self._pending = None  # previous block's device flux, unfetched
 
     def fold(self, blk):
         c = self.c
@@ -414,25 +413,21 @@ class _FluxStream:
             self._q = blk.col("q")[0].copy()
         vel_b = blk.cols(["vx", "vy", "vz"])  # (block, N, 3)
         with stage("charge_flux", frames=vel_b.shape[0]):
-            # double-buffered: fetch the PREVIOUS block's (tiny) flux
-            # and leave this one's on device — the fold never waits for
-            # device work queued for the current block
-            cur = self._flux_fn(jnp.asarray(vel_b, self.dtype),
-                                jnp.asarray(self._q, self.dtype),
-                                jnp.asarray(self._masses, self.dtype))
-            if self._pending is not None:
-                self._j_parts.append(np.asarray(self._pending,
-                                                np.float64))
-            self._pending = cur
+            # accumulate the (block, n_types, 3) flux shards ON DEVICE
+            # and fetch once at finalize — a tunnel fetch costs seconds
+            # of latency regardless of size, and the whole flux history
+            # is tiny (T x n_types x 3)
+            self._j_parts.append(
+                self._flux_fn(jnp.asarray(vel_b, self.dtype),
+                              jnp.asarray(self._q, self.dtype),
+                              jnp.asarray(self._masses, self.dtype)))
         self._timesteps.append(blk.timesteps)
 
     def finalize(self):
-        if self._pending is not None:
-            self._j_parts.append(np.asarray(self._pending, np.float64))
-            self._pending = None
         if not self._j_parts:
             raise ValueError("no frames folded")
-        j = np.concatenate(self._j_parts)
+        j = np.asarray(jnp.concatenate(self._j_parts), np.float64)
+        self._j_parts.clear()
         self.c.time = list(
             np.concatenate(self._timesteps).astype(np.float64)
             * constants.TIME_CONVERSION[self.c.units]

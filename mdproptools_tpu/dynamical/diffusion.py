@@ -192,20 +192,39 @@ class Diffusion:
                 drift[:, k - 1] = com_t - com_t[0]
             coords = coords - drift[:, mol_types - 1, :]
 
-        disp2 = (coords - coords[0][None]) ** 2  # (T, M, 3)
+        # Displacement math sized T x M x 3: on the virtualized target
+        # hosts fresh pages fault in ~100x slower than warm ones (see
+        # utilities/host.py), so at the 10k-frame scale every avoidable
+        # temporary costs real wall-clock. When ``coords`` is not needed
+        # again (no msd_int sampling), square the displacements in
+        # place; either way the msd_all table is assembled directly into
+        # ONE preallocated block that the DataFrame adopts without the
+        # usual per-column copy + consolidation pass. Values and layout
+        # are identical to the straightforward construction (pinned by
+        # the oracle-parity tests).
+        M = coords.shape[1]
+        if avg_interval:
+            disp2 = (coords - coords[0][None]) ** 2  # (T, M, 3)
+        else:
+            c0 = coords[0].copy()
+            np.subtract(coords, c0[None], out=coords)
+            disp2 = np.square(coords, out=coords)
         msd_vals = disp2.sum(axis=2)  # (T, M)
 
         # ---- msd_all: per-entity rows, reference row order --------------
         # sort by (type, mol_id) — already in that order
-        rows = {
-            "Time (s)": np.repeat(time_s, coords.shape[1]),
-            "type": np.tile(mol_types, T).astype(np.int64),
-            "mol_id": np.tile(mol_ids, T).astype(np.int64),
-        }
-        for a, c in enumerate(DISPS):
-            rows[c] = disp2[:, :, a].reshape(-1)
-        rows["msd"] = msd_vals.reshape(-1)
-        msd_all = pd.DataFrame(rows)
+        fblock = np.empty((5, T * M), np.float64)
+        fblock[0].reshape(T, M)[:] = time_s[:, None]  # Time repeated
+        for a in range(3):
+            np.copyto(fblock[1 + a].reshape(T, M), disp2[:, :, a])
+        fblock[4] = msd_vals.reshape(-1)
+        msd_all = pd.DataFrame(
+            fblock.T, columns=["Time (s)"] + DISPS + ["msd"], copy=False)
+        tile_i = np.empty((2, T * M), np.int64)
+        tile_i[0].reshape(T, M)[:] = mol_types[None, :]
+        tile_i[1].reshape(T, M)[:] = mol_ids[None, :]
+        msd_all.insert(1, "type", tile_i[0])
+        msd_all.insert(2, "mol_id", tile_i[1])
 
         # ---- msd: averaged over entities ---------------------------------
         # pivoted per-type columns: dx2{k} dy2{k} dz2{k} msd{k}
@@ -597,7 +616,6 @@ class _MsdStream:
         self.coords_parts = []
         self.ts_parts = []
         self.aa = None
-        self._pending = None  # previous block's device COMs, unfetched
         self._com_fn = None  # jitted per-block COM program (com path)
 
     def fold(self, blk):
@@ -633,14 +651,13 @@ class _MsdStream:
                     lambda xu: com_ops.segment_com(
                         xu, masses_d, mol_index_d, n_mol))
             com_b = self._com_fn(jnp.asarray(xu_b, self.dtype))
-            # double-buffered: fetch the PREVIOUS block's (small) COM
-            # result and leave this block's on device, so the fold never
-            # synchronizes with device work queued for this block (the
-            # composite pipeline queues the RDF kernel just before)
-            if self._pending is not None:
-                self.coords_parts.append(
-                    np.asarray(self._pending, np.float64))
-            self._pending = com_b
+            # Accumulate the (block, M, 3) COM shards ON DEVICE and
+            # fetch once at finalize: a tunnel fetch costs seconds of
+            # latency regardless of size, and per-block fetches were
+            # ~40% of the streaming fold at the 10k-frame scale. The
+            # resident total is T x M x 3 f32 (~335 MB at the
+            # north-star shape) — far below HBM.
+            self.coords_parts.append(com_b)
         else:
             self.aa = self.d._allatom_stream_block(
                 self.aa, xu_b * self.dist, blk.timesteps, self.ids,
@@ -650,9 +667,6 @@ class _MsdStream:
     def finalize(self, com_drift=False, avg_interval=False):
         if not self.ts_parts:
             raise ValueError("no frames folded")
-        if self._pending is not None:
-            self.coords_parts.append(np.asarray(self._pending, np.float64))
-            self._pending = None
         time_s = (
             np.concatenate(self.ts_parts).astype(np.float64)
             * self.d.timestep
@@ -662,7 +676,15 @@ class _MsdStream:
             return self.d._allatom_finalize(self.aa, time_s, self.ids,
                                             avg_interval,
                                             self.msd_all_path)
-        coords = np.concatenate(self.coords_parts) * self.dist  # SI
+        # one device concatenate + ONE fetch for the whole trajectory's
+        # COM history (see fold); f64 promotion happens host-side
+        coords = np.asarray(
+            jnp.concatenate(self.coords_parts), np.float64)
+        self.coords_parts.clear()
+        if coords.flags.writeable:
+            coords *= self.dist  # SI, in place (no T x M x 3 temporary)
+        else:  # same-dtype fetches can be read-only zero-copy views
+            coords = coords * self.dist
         return self.d._com_finalize(coords, time_s, self.system,
                                     self.masses, com_drift, avg_interval,
                                     self.tao_coeff)

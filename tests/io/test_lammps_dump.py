@@ -202,3 +202,36 @@ def test_element_string_column(tmp_path):
     assert traj.data.shape == (1, 3, 2)
     with pytest.raises(ValueError, match="string-valued"):
         read_trajectory(str(p), columns=["element", "x"])
+
+
+def test_block_buffer_pool_reuse_and_pinning():
+    """The stacked-block buffer pool reuses a buffer only when nothing
+    outside the pool references it; a retained Trajectory (or any view
+    into it) pins its buffer and a fresh one is allocated instead."""
+    from mdproptools_tpu.io.lammps_dump import _BlockBufferPool
+
+    pool = _BlockBufferPool()
+    a = pool.get((4, 8, 3))
+    a.fill(1.0)
+    b = pool.get((4, 8, 3))  # `a` is alive -> must not be recycled
+    assert b is not a
+    view = a[0]  # a view keeps the base pinned even after `a` dies
+    del a
+    c = pool.get((4, 8, 3))
+    assert c is not view.base
+    del view, b, c
+    d = pool.get((4, 8, 3))
+    e = pool.get((2, 8, 3))  # different shape never matches
+    assert e.shape == (2, 8, 3) and d.shape == (4, 8, 3)
+
+
+def test_malloc_tuning_applied_or_opted_out(monkeypatch):
+    """tune_malloc_for_streaming applies on glibc hosts (the package
+    import already ran it) and respects the opt-out env var in a fresh
+    state."""
+    from mdproptools_tpu.utilities import host
+
+    assert host._applied  # package import tuned this process
+    monkeypatch.setattr(host, "_applied", False)
+    monkeypatch.setenv("MDPT_NO_MALLOC_TUNING", "1")
+    assert host.tune_malloc_for_streaming() is False

@@ -621,6 +621,10 @@ REL_DOT_INT8 = False  # int8 one-hot MXU dots (would ride v5e's 2x int8
 
 TAIL_GROUP = 8  # tail-walk width finishing n_act % C_GROUP_REL columns
 REL_TAIL_WALK = True  # main+tail column walk (benchmarks A/B this)
+REL_FUSE_GROUPS = True  # fold the column-group grid dim into an
+#                         in-kernel loop: one program per row chunk
+#                         (vs n_chunks x n_groups), saving the fixed
+#                         per-program dispatch overhead
 
 KC_REL = 32  # column tiles per grid program (relation kernel)
 C_GROUP_REL = 64  # independent column dots per roll step (swept 16/32/64
@@ -654,9 +658,11 @@ def _rel_kernel(
     c_group,
     dot_int8=False,
     tail_walk=True,
+    inline_groups=None,
 ):
     i = pl.program_id(0)
-    j = pl.program_id(1)
+    if inline_groups is None:
+        j = pl.program_id(1)
     n_rel = len(relations)
     trash = jnp.int32((1 + n_rel) * hb)
     # int8 one-hot operands: v5e's MXU runs int8 x int8 -> int32 at 2x
@@ -668,13 +674,18 @@ def _rel_kernel(
     acc_dtype = jnp.int32 if dot_int8 else jnp.float32
     tail_on = compact_cols and tail_walk and c_group > TAIL_GROUP
 
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+    if inline_groups is None:
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+    else:
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
-    word = mask_ref[i, j]
+    def _scan_word(jw, word):
 
-    def _group(_g, carry_g):
+      def _group(_g, carry_g):
         lx = len_ref[0, 0]
         ly = len_ref[0, 1]
         lz = len_ref[0, 2]
@@ -696,13 +707,13 @@ def _rel_kernel(
 
         def subtile(_t, w):  # runs once per SET bit of the keep word
             k = _ctz32(w)
-            jj = (col_off_ref[0] + j) * KC_REL + k
+            jj = (col_off_ref[0] + jw) * KC_REL + k
             off = pl.multiple_of(k * F, F)
-            xc = colpack_ref[j, 0, pl.ds(off, F)]  # (F,)
-            yc = colpack_ref[j, 1, pl.ds(off, F)]
-            zc = colpack_ref[j, 2, pl.ds(off, F)]
-            idxc = colpack_ref[j, 3, pl.ds(off, F)]
-            tyc = colpack_ref[j, 4, pl.ds(off, F)]
+            xc = colpack_ref[jw, 0, pl.ds(off, F)]  # (F,)
+            yc = colpack_ref[jw, 1, pl.ds(off, F)]
+            zc = colpack_ref[jw, 2, pl.ds(off, F)]
+            idxc = colpack_ref[jw, 3, pl.ds(off, F)]
+            tyc = colpack_ref[jw, 4, pl.ds(off, F)]
 
             dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
             dy = wrap(yr - yc[None, :], ly)
@@ -857,7 +868,23 @@ def _rel_kernel(
         jax.lax.fori_loop(0, _popcount32(word), subtile, word)
         return carry_g
 
-    jax.lax.fori_loop(0, (word != 0).astype(jnp.int32), _group, 0)
+      jax.lax.fori_loop(0, (word != 0).astype(jnp.int32), _group, 0)
+
+    if inline_groups is None:
+        _scan_word(j, mask_ref[i, j])
+    else:
+        # column-group loop folded INTO the kernel: one grid program
+        # per row chunk instead of n_chunks x n_groups programs — the
+        # ~4.5 us fixed dispatch cost per program is paid once per
+        # chunk (13k+ programs at 84k atoms otherwise). All-culled
+        # words cost the same zero-trip gate they cost as separate
+        # programs; colpack_ref is indexed by the traced jw on its
+        # leading dim (the resident-ref pattern).
+        def _loop(jw, c):
+            _scan_word(jw, mask_ref[i, jw])
+            return c
+
+        jax.lax.fori_loop(0, inline_groups, _loop, 0)
 
 
 def pair_hist_relations_pallas(
@@ -1000,22 +1027,33 @@ def pair_hist_relations_pallas(
     )
     def _call(mask_b, rt_b, co_b, rowpack_b, colpack_b):
         ng = colpack_b.shape[0]
+        if REL_FUSE_GROUPS:
+            grid = (rowpack_b.shape[0],)
+            idx_row = lambda i, *s: (i, 0, 0)  # noqa: E731
+            idx_const = lambda i, *s: (0, 0, 0)  # noqa: E731
+            idx_out = lambda i, *s: (0, 0)  # noqa: E731
+            kern = functools.partial(kernel, inline_groups=int(ng))
+        else:
+            grid = (rowpack_b.shape[0], ng)
+            idx_row = lambda i, j, *s: (i, 0, 0)  # noqa: E731
+            idx_const = lambda i, j, *s: (0, 0, 0)  # noqa: E731
+            idx_out = lambda i, j, *s: (0, 0)  # noqa: E731
+            kern = kernel
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(rowpack_b.shape[0], ng),
+            grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 5, LANE), lambda i, j, *s: (i, 0, 0),
+                pl.BlockSpec((1, 5, LANE), idx_row,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ng, 5, KC_REL * F),
-                             lambda i, j, *s: (0, 0, 0),
+                pl.BlockSpec((ng, 5, KC_REL * F), idx_const,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((m_pad, F), lambda i, j, *s: (0, 0),
+            out_specs=pl.BlockSpec((m_pad, F), idx_out,
                                    memory_space=pltpu.VMEM),
         )
         return pl.pallas_call(
-            kernel,
+            kern,
             out_shape=jax.ShapeDtypeStruct((m_pad, F), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,

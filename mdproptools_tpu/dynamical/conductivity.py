@@ -30,6 +30,7 @@ from mdproptools_tpu.common.system import System
 from mdproptools_tpu.io.lammps_dump import (
     iter_trajectory_blocks,
     peek_dump_columns,
+    prefetch_iter,
 )
 from mdproptools_tpu.ops import acf as acf_ops
 from mdproptools_tpu.ops import com as com_ops
@@ -141,8 +142,12 @@ class Conductivity:
         wanted = ["id", "q", "vx", "vy", "vz"]
         wanted.insert(1, "type" if self.mass is not None else "mass")
         stream = self.flux_stream()
-        for blk in iter_trajectory_blocks(
-            pattern, columns=[c for c in wanted if c in available]
+        # prefetch depth 2: background parse overlaps the fold's host
+        # copies and device transfers (the C parser releases the GIL)
+        for blk in prefetch_iter(
+            iter_trajectory_blocks(
+                pattern, columns=[c for c in wanted if c in available]),
+            depth=2,
         ):
             stream.fold(blk)
         return stream.finalize()
@@ -394,7 +399,7 @@ class _FluxStream:
         self._flux_fn = flux_fn
         self._j_parts = []
         self._timesteps = []
-        self._masses = self._q = None
+        self._masses = self._q = self._q_d = self._m_d = None
 
     def fold(self, blk):
         c = self.c
@@ -411,16 +416,18 @@ class _FluxStream:
             if not blk.has("q"):
                 raise AssertionError("Missing atom charges in dump file.")
             self._q = blk.col("q")[0].copy()
-        vel_b = blk.cols(["vx", "vy", "vz"])  # (block, N, 3)
+            # constants cross the tunnel ONCE, not once per block
+            self._q_d = jnp.asarray(self._q, self.dtype)
+            self._m_d = jnp.asarray(self._masses, self.dtype)
+        # fused f64->dtype column copy (one pass, no f64 temporary)
+        vel_b = blk.cols_as(["vx", "vy", "vz"], self.dtype)
         with stage("charge_flux", frames=vel_b.shape[0]):
             # accumulate the (block, n_types, 3) flux shards ON DEVICE
             # and fetch once at finalize — a tunnel fetch costs seconds
             # of latency regardless of size, and the whole flux history
             # is tiny (T x n_types x 3)
             self._j_parts.append(
-                self._flux_fn(jnp.asarray(vel_b, self.dtype),
-                              jnp.asarray(self._q, self.dtype),
-                              jnp.asarray(self._masses, self.dtype)))
+                self._flux_fn(jnp.asarray(vel_b), self._q_d, self._m_d))
         self._timesteps.append(blk.timesteps)
 
     def finalize(self):

@@ -33,6 +33,7 @@ from mdproptools_tpu.common.system import System
 from mdproptools_tpu.io.lammps_dump import (
     iter_trajectory_blocks,
     peek_dump_columns,
+    prefetch_iter,
 )
 from mdproptools_tpu.ops import com as com_ops
 from mdproptools_tpu.ops.fits import ols_no_intercept
@@ -60,11 +61,13 @@ class Diffusion:
 
     # -- trajectory -> unwrapped coordinates ---------------------------------
     @staticmethod
-    def _unwrapped_coords(traj):
+    def _unwrapped_coords(traj, dtype=np.float64):
         """(T, N, 3) unwrapped coordinates: prefer xu/yu/zu, else
-        x + i * L (``diffusion.py:63-81``)."""
+        x + i * L (``diffusion.py:63-81``). ``dtype`` fuses the device
+        cast into the column copy (one pass; value-identical to casting
+        the f64 copy afterwards)."""
         if all(traj.has(c) for c in ("xu", "yu", "zu")):
-            return traj.cols(["xu", "yu", "zu"])
+            return traj.cols_as(["xu", "yu", "zu"], dtype)
         missing_w = [c for c in ("x", "y", "z") if not traj.has(c)]
         if missing_w:
             raise AssertionError(
@@ -78,7 +81,8 @@ class Diffusion:
             )
         pos = traj.cols(["x", "y", "z"])
         img = traj.cols(["ix", "iy", "iz"])
-        return pos + img * traj.box_lengths[:, None, :]
+        out = pos + img * traj.box_lengths[:, None, :]
+        return out if dtype == np.float64 else out.astype(dtype)
 
     @staticmethod
     def _msd_columns(available, msd_type, mass):
@@ -144,8 +148,14 @@ class Diffusion:
             tao_coeff=tao_coeff, precision=precision,
             msd_all_path=msd_all_path,
         )
-        for blk in iter_trajectory_blocks(
-            pattern, columns=[c for c in wanted if c in available]
+        # prefetch depth 2: the background thread parses block k+1 while
+        # fold(k)'s host copies and device transfers run (the C parser
+        # releases the GIL) — at the 10k-frame scale the parse wait
+        # otherwise serializes with the fold
+        for blk in prefetch_iter(
+            iter_trajectory_blocks(
+                pattern, columns=[c for c in wanted if c in available]),
+            depth=2,
         ):
             stream.fold(blk)
         return stream.finalize(com_drift=com_drift,
@@ -635,8 +645,9 @@ class _MsdStream:
                     self.masses = blk.col("mass")[0].copy()
                 else:
                     raise AssertionError("Missing atom masses in dump file.")
-        xu_b = Diffusion._unwrapped_coords(blk)  # (block, N, 3)
         if self.msd_type == "com":
+            # fused f64->dtype column copy (one pass, no f64 temporary)
+            xu_b = Diffusion._unwrapped_coords(blk, self.dtype)
             if self._com_fn is None:
                 # jit ONCE with masses/segments as captured device
                 # constants: the unjitted segment_com dispatched ~10
@@ -650,7 +661,7 @@ class _MsdStream:
                 self._com_fn = jax.jit(
                     lambda xu: com_ops.segment_com(
                         xu, masses_d, mol_index_d, n_mol))
-            com_b = self._com_fn(jnp.asarray(xu_b, self.dtype))
+            com_b = self._com_fn(jnp.asarray(xu_b))
             # Accumulate the (block, M, 3) COM shards ON DEVICE and
             # fetch once at finalize: a tunnel fetch costs seconds of
             # latency regardless of size, and per-block fetches were
@@ -659,6 +670,7 @@ class _MsdStream:
             # north-star shape) — far below HBM.
             self.coords_parts.append(com_b)
         else:
+            xu_b = Diffusion._unwrapped_coords(blk)  # f64 host math
             self.aa = self.d._allatom_stream_block(
                 self.aa, xu_b * self.dist, blk.timesteps, self.ids,
                 self.tao_coeff, self.msd_all_path)

@@ -82,26 +82,51 @@ def _load():
     return _LIB
 
 
+def _as_ptr_len(text):
+    """(c_char_p, byte length) for str, bytes, or a C-contiguous uint8
+    ndarray (a zero-copy view into a larger buffer — the dump reader
+    passes the ATOMS body this way instead of slicing a multi-MB bytes
+    object per frame). The caller must keep ``text`` alive across the C
+    call (ctypes holds no reference to an ndarray's memory)."""
+    if isinstance(text, np.ndarray):
+        if text.dtype != np.uint8 or not text.flags.c_contiguous:
+            raise ValueError("ndarray text must be C-contiguous uint8")
+        ptr = ctypes.cast(ctypes.c_void_p(text.ctypes.data),
+                          ctypes.c_char_p)
+        return ptr, text.size
+    raw = (text if isinstance(text, bytes)
+           else text.encode("ascii", errors="strict"))
+    return raw, len(raw)
+
+
+def _count_newlines(text):
+    if isinstance(text, np.ndarray):
+        return int(np.count_nonzero(text == 0x0A))
+    if isinstance(text, str):
+        return text.count("\n")
+    return text.count(b"\n")
+
+
 def parse_floats(text, ncols: int, max_rows=None):
-    """Parse a whitespace-separated numeric table (str or bytes) into
-    (rows, ncols) float64, or return None if the native library is
-    unavailable or the input is malformed (caller falls back). Callers
-    on the hot path pass bytes — the str round-trip (decode on read +
-    ascii re-encode here) costs more than the tokenizer itself — and
-    ``max_rows`` (the dump header's atom count; counting newlines to
-    bound the allocation costs a full extra pass over the body)."""
+    """Parse a whitespace-separated numeric table (str, bytes, or uint8
+    ndarray view) into (rows, ncols) float64, or return None if the
+    native library is unavailable or the input is malformed (caller
+    falls back). Callers on the hot path pass bytes/uint8 views — the
+    str round-trip (decode on read + ascii re-encode here) costs more
+    than the tokenizer itself — and ``max_rows`` (the dump header's atom
+    count; counting newlines to bound the allocation costs a full extra
+    pass over the body)."""
     lib = _load()
     if lib is None:
         return None
-    raw = (text if isinstance(text, bytes)
-           else text.encode("ascii", errors="strict"))
+    ptr, nbytes = _as_ptr_len(text)
     if max_rows is None:
         # upper bound on rows: number of newlines + 1
-        max_rows = raw.count(b"\n") + 1
+        max_rows = _count_newlines(text) + 1
     out = np.empty((max_rows, ncols), np.float64)
     n = lib.mdpt_parse_table(
-        raw,
-        len(raw),
+        ptr,
+        nbytes,
         ncols,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         max_rows,
@@ -113,11 +138,11 @@ def parse_floats(text, ncols: int, max_rows=None):
 
 def parse_floats_cols(text, ncols: int, keep_idx, max_rows=None):
     """Parse only the columns in ``keep_idx`` of a whitespace table
-    (str or bytes) with ``ncols`` tokens per row; skipped tokens are
-    never touched (the SIMD tokenizer jumps over them). Returns
-    (rows, len(keep_idx)) float64 with the columns in the ORDER
-    requested by ``keep_idx``, or None (caller falls back to full
-    parse + select). Raises ValueError on duplicate indices."""
+    (str, bytes, or uint8 ndarray view) with ``ncols`` tokens per row;
+    skipped tokens are never touched (the SIMD tokenizer jumps over
+    them). Returns (rows, len(keep_idx)) float64 with the columns in
+    the ORDER requested by ``keep_idx``, or None (caller falls back to
+    full parse + select). Raises ValueError on duplicate indices."""
     keep_idx = [int(k) for k in keep_idx]
     if len(set(keep_idx)) != len(keep_idx):
         raise ValueError(f"duplicate column indices in {keep_idx}")
@@ -127,14 +152,13 @@ def parse_floats_cols(text, ncols: int, keep_idx, max_rows=None):
     mask = np.zeros(ncols, np.uint8)
     mask[keep_idx] = 1
     n_keep = int(mask.sum())
-    raw = (text if isinstance(text, bytes)
-           else text.encode("ascii", errors="strict"))
+    ptr, nbytes = _as_ptr_len(text)
     if max_rows is None:
-        max_rows = raw.count(b"\n") + 1
+        max_rows = _count_newlines(text) + 1
     out = np.empty((max_rows, n_keep), np.float64)
     n = lib.mdpt_parse_table_cols(
-        raw,
-        len(raw),
+        ptr,
+        nbytes,
         ncols,
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n_keep,

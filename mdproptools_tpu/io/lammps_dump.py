@@ -107,11 +107,12 @@ def _sort_files_by_wildcard(pattern: str, files: List[str]) -> List[str]:
     return sorted(files, key=key)
 
 
-def _parse_body(text: bytes, ncols: int,
+def _parse_body(text, ncols: int,
                 max_rows: Optional[int] = None) -> np.ndarray:
-    """Parse the whitespace-separated ATOMS body into (N, ncols) float64.
-    ``max_rows`` is the header's atom count when known (saves the native
-    parser a newline-counting pass over the body)."""
+    """Parse the whitespace-separated ATOMS body (bytes or a zero-copy
+    uint8 ndarray view) into (N, ncols) float64. ``max_rows`` is the
+    header's atom count when known (saves the native parser a
+    newline-counting pass over the body)."""
     try:
         from mdproptools_tpu.io import _native
 
@@ -120,6 +121,8 @@ def _parse_body(text: bytes, ncols: int,
             return arr
     except Exception:
         pass
+    if isinstance(text, np.ndarray):
+        text = text.tobytes()
     df = pd.read_csv(
         _io.BytesIO(text), sep=r"\s+", header=None, dtype=np.float64, engine="c"
     )
@@ -224,7 +227,11 @@ def parse_frames_from_text(
         body_start = at_header_end + 1
         next_item = text.find(b"ITEM: TIMESTEP", body_start)
         body_end = next_item if next_item != -1 else n
-        body = text[body_start:body_end]
+        # zero-copy view of the body: slicing the multi-MB bytes object
+        # per frame cost a fresh allocation + memcpy on the hot path
+        body = np.frombuffer(text, np.uint8)[body_start:body_end]
+        # string-column sniff reads only the first row: a small slice
+        sniff = text[body_start:min(body_start + 65536, body_end)]
         if columns_filter is not None:
             missing = [c for c in columns_filter if c not in columns]
             if missing:
@@ -232,10 +239,10 @@ def parse_frames_from_text(
                     f"columns_filter names {missing} not present in this "
                     f"dump's ATOMS columns {columns}"
                 )
-        str_idx = _sniff_str_columns(body, columns)
+        str_idx = _sniff_str_columns(sniff, columns)
         if str_idx:
             num_columns, data, str_data = _parse_mixed_body(
-                body, columns, str_idx)
+                body.tobytes(), columns, str_idx)
         elif columns_filter is not None:
             want = set(columns_filter)
             if sort_by_id:
@@ -267,10 +274,13 @@ def parse_frames_from_text(
                 f"parsed {data.shape[0]}"
             )
         if sort_by_id and "id" in num_columns:
-            order = np.argsort(data[:, num_columns.index("id")],
-                               kind="stable")
-            data = data[order]
-            str_data = {c: v[order] for c, v in str_data.items()}
+            ids = data[:, num_columns.index("id")]
+            # dumps written id-ordered (common for post-processed or
+            # replicated trajectories) skip the argsort + 4 MB gather
+            if ids.size > 1 and not np.all(ids[1:] > ids[:-1]):
+                order = np.argsort(ids, kind="stable")
+                data = data[order]
+                str_data = {c: v[order] for c, v in str_data.items()}
         yield Frame(timestep, natoms, Box(bounds, periodic, tilt),
                     num_columns, data, str_data)
         pos = body_end
@@ -359,6 +369,17 @@ class Trajectory:
         idx = [self._index[n] for n in names]
         return self.data[:, :, idx]
 
+    def cols_as(self, names: Sequence[str], dtype) -> np.ndarray:
+        """(T, N, len(names)) copy cast to ``dtype`` in ONE pass — the
+        fancy-index select and the ``astype`` otherwise each materialize
+        a (T, N, C) temporary, which costs real wall-clock at streaming
+        block sizes (device feeds convert f64 blocks to f32)."""
+        idx = [self._index[n] for n in names]
+        out = np.empty(self.data.shape[:2] + (len(idx),), dtype)
+        for j, ix in enumerate(idx):
+            out[:, :, j] = self.data[:, :, ix]
+        return out
+
     def has(self, name: str) -> bool:
         return name in self._index
 
@@ -445,7 +466,15 @@ def _stack_frames(frames: List[Frame],
     for t, fr in enumerate(frames):
         if fr.natoms != n_atoms:
             raise ValueError("atom count varies across frames; cannot stack")
-        data[t] = fr.cols(keep)
+        if fr.columns == keep:
+            # column order matches the request: one straight memcpy
+            data[t] = fr.data
+        else:
+            # per-column copies into the pooled buffer (no (N, C) temp
+            # from a fancy-index select)
+            src, dst = fr.data, data[t]
+            for j, name in enumerate(keep):
+                dst[:, j] = src[:, fr._index[name]]
         timesteps[t] = fr.timestep
         box_bounds[t] = fr.box.bounds
     return Trajectory(timesteps, box_bounds, keep, data,

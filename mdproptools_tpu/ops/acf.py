@@ -31,21 +31,35 @@ def _needs_host_fft(x) -> bool:
     )
 
 
+def _fft_len(n: int) -> int:
+    """Zero-pad length for linear correlation: the next power of two at
+    or above 2N. Any pad >= 2N - 1 yields the SAME linear-correlation
+    values (the extra samples are zeros; only lags 0..N-1 are kept) up
+    to FFT roundoff — while a plain 2N pad inherits whatever prime
+    factors T has (a 10,100-frame trajectory gives 2T = 2^3*5^2*101,
+    whose radix-101 passes run several times slower per point on both
+    the TPU FFT and pocketfft), and compiles a fresh XLA program per
+    trajectory length. Power-of-two lengths are fastest and bucket many
+    lengths onto one compiled program."""
+    return 1 << (2 * n - 1).bit_length()
+
+
 def correlate(a, b):
     """Unbiased FFT cross-correlation over the last axis.
 
     out[..., k] = sum_t a[..., t+k] * b[..., t] / (N - k),  k = 0..N-1
     """
     n = a.shape[-1]
+    m = _fft_len(n)
     if _needs_host_fft(a):
         a = np.asarray(a)
         b = np.asarray(b)
-        fa = np.fft.fft(a, n=2 * n, axis=-1)
-        fb = np.fft.fft(b, n=2 * n, axis=-1)
+        fa = np.fft.fft(a, n=m, axis=-1)
+        fb = np.fft.fft(b, n=m, axis=-1)
         c = np.fft.ifft(fa * np.conj(fb), axis=-1).real[..., :n]
         return c / (n - np.arange(n))
-    fa = jnp.fft.fft(a, n=2 * n, axis=-1)
-    fb = jnp.fft.fft(b, n=2 * n, axis=-1)
+    fa = jnp.fft.fft(a, n=m, axis=-1)
+    fb = jnp.fft.fft(b, n=m, axis=-1)
     c = jnp.fft.ifft(fa * jnp.conj(fb), axis=-1).real[..., :n]
     norm = (n - jnp.arange(n)).astype(c.dtype)
     return c / norm
@@ -54,12 +68,13 @@ def correlate(a, b):
 def autocorrelate(x):
     """Unbiased FFT autocorrelation over the last axis (WKT)."""
     n = x.shape[-1]
+    m = _fft_len(n)
     if _needs_host_fft(x):
         x = np.asarray(x)
-        f = np.fft.fft(x, n=2 * n, axis=-1)
+        f = np.fft.fft(x, n=m, axis=-1)
         c = np.fft.ifft(f * np.conj(f), axis=-1).real[..., :n]
         return c / (n - np.arange(n))
-    f = jnp.fft.fft(x, n=2 * n, axis=-1)
+    f = jnp.fft.fft(x, n=m, axis=-1)
     c = jnp.fft.ifft(f * jnp.conj(f), axis=-1).real[..., :n]
     norm = (n - jnp.arange(n)).astype(c.dtype)
     return c / norm

@@ -235,3 +235,45 @@ def test_malloc_tuning_applied_or_opted_out(monkeypatch):
     monkeypatch.setattr(host, "_applied", False)
     monkeypatch.setenv("MDPT_NO_MALLOC_TUNING", "1")
     assert host.tune_malloc_for_streaming() is False
+
+
+def test_shuffled_ids_sort_matches_ordered(tmp_path):
+    """The parser skips the argsort+gather when ids arrive ascending
+    (the fast path for post-processed/replicated dumps); a row-shuffled
+    copy of the same frame must parse to the IDENTICAL Trajectory
+    through the gather path."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from helpers import write_dump
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 37
+    data = np.zeros((n, 5))
+    data[:, 0] = np.arange(1, n + 1)
+    data[:, 1] = rng.integers(1, 4, n)
+    data[:, 2:5] = rng.uniform(0, 5, (n, 3))
+    write_dump(str(tmp_path / "sorted.dump"), 0, 0.0, 5.0,
+               ["id", "type", "x", "y", "z"], data)
+    write_dump(str(tmp_path / "shuffled.dump"), 0, 0.0, 5.0,
+               ["id", "type", "x", "y", "z"],
+               data[rng.permutation(n)])
+    a = read_trajectory(str(tmp_path / "sorted.dump"))
+    b = read_trajectory(str(tmp_path / "shuffled.dump"))
+    np.testing.assert_array_equal(a.data, b.data)
+
+
+def test_cols_as_matches_cols_astype(dump_pattern):
+    """Trajectory.cols_as fuses select+cast in one pass; values must be
+    bit-identical to .cols(...).astype(...)."""
+    import numpy as np
+
+    traj = read_trajectory(dump_pattern, columns=["id", "x", "y", "z"],
+                           max_frames=3)
+    fused = traj.cols_as(["x", "y", "z"], np.float32)
+    two_pass = traj.cols(["x", "y", "z"]).astype(np.float32)
+    assert fused.dtype == np.float32
+    np.testing.assert_array_equal(fused, two_pass)

@@ -58,3 +58,22 @@ def test_cumtrapz_matches_scipy():
     got = np.asarray(acf.cumtrapz(jnp.asarray(y), 0.37))
     want = cumulative_trapezoid(y, dx=0.37)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_correlate_prime_factor_length():
+    """Lengths whose 2T pad has large prime factors (a 101-file
+    trajectory gives 2T = 202 = 2 * 101) must still match the brute
+    oracle: the correlators zero-pad to the next power of two
+    (acf._fft_len), which leaves lags 0..T-1 mathematically unchanged."""
+    rng = np.random.default_rng(7)
+    for n in (101, 10100 // 100, 509):  # primes / awkward sizes
+        a = rng.normal(size=n)
+        b = rng.normal(size=n)
+        assert acf._fft_len(n) >= 2 * n - 1
+        assert acf._fft_len(n) & (acf._fft_len(n) - 1) == 0  # pow2
+        got = np.asarray(acf.correlate(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, acf.correlate_brute(a, b),
+                                   rtol=1e-9, atol=1e-12)
+        got = np.asarray(acf.autocorrelate(jnp.asarray(a)))
+        np.testing.assert_allclose(got, acf.autocorrelate_brute(a),
+                                   rtol=1e-9, atol=1e-12)

@@ -159,6 +159,35 @@ def bench_gk():
     return dt
 
 
+def bench_analyze():
+    """Single-parse composite (``mdproptools_tpu.analyze``): RDF + MSD +
+    GK from ONE streamed pass over the bundled trajectory — the
+    composite's honest wall-clock (the per-property entry points each
+    re-parse); warm (second) run reported."""
+    from mdproptools_tpu import analyze
+
+    outdir = "/tmp/bench_analyze"
+    os.makedirs(outdir, exist_ok=True)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = analyze(
+            DATA, 9, MASS, num_mols=NUM_MOLS,
+            num_atoms_per_mol=NUM_ATOMS_PER_MOL,
+            rdf=dict(r_cut=20.0, bin_size=0.05,
+                     partial_relations=[[8, 8, 8, 8], [1, 4, 6, 8]],
+                     save_mode=False),
+            msd=dict(msd_type="com", calc_diff=True),
+            conductivity=dict(volume=49.182349 ** 3, fit=False),
+            precision="fast", working_dir=outdir,
+        )
+        dt = min(dt, time.time() - t0)
+    assert abs(float(out["rdf"]["g_full(r)"].tail(20).mean()) - 1.0) < 0.05
+    assert np.isfinite(out["diffusion"]["diffusion (m2/s)"].to_numpy()).all()
+    assert np.isfinite(out["integral"]).all()
+    return dt
+
+
 def tpu_bit_parity(jnp, traj_cache):
     """Compiled Pallas (triangle + device sort + cull) vs XLA scatter on
     one real frame, both f32 on the TPU: counts must be EXACTLY equal."""
@@ -210,6 +239,7 @@ def main():
     rdf_fps, rdf_dt = bench_rdf(jnp, rdf_cn, traj_cache)
     msd_dt = bench_msd()
     gk_dt = bench_gk()
+    analyze_dt = bench_analyze()
     parity_ok = tpu_bit_parity(jnp, traj_cache)
     n50, ms50 = bench_rdf_50k(jnp, rdf_cn, traj_cache)
 
@@ -251,6 +281,7 @@ def main():
         "msd_com_end_to_end_s": round(msd_dt, 3),
         "gk_conductivity_end_to_end_s": round(gk_dt, 3),
         "composite_rdf_msd_gk_s_101x10479": round(rdf_dt + msd_dt + gk_dt, 3),
+        "analyze_one_parse_s_101x10479": round(analyze_dt, 3),
         "tpu_pallas_vs_scatter_bit_parity": parity_ok,
         "frames": int(T),
         "backend": jax.default_backend(),

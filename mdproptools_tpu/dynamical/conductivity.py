@@ -322,7 +322,10 @@ class Conductivity:
             if q is None:
                 if not blk.has("q"):
                     raise AssertionError("Missing atom charges in dump file.")
-                q = np.asarray(blk.col("q")[0], np.float64)
+                # copy: col() is a view into the recycled block buffer
+                # (io._BlockBufferPool) — holding it would pin the
+                # ~O(block x N x C) buffer for the whole stream
+                q = np.array(blk.col("q")[0], np.float64)
             xu_b = Diffusion._unwrapped_coords(blk)
             p_parts.append(np.einsum(
                 "tnc,n->tc", np.asarray(xu_b, np.float64), q))

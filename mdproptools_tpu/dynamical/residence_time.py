@@ -228,15 +228,28 @@ class ResidenceTime:
                 # self-pair columns zeroed (residence_time.py:103-104)
                 n_cols = flat.shape[1]
                 chunk = max(1, 8_388_608 // (2 * T))  # ~8M elems per FFT
+                # Disk-backed (spilled) sources are read in SLABS of many
+                # columns before the per-chunk FFTs: slicing the row-major
+                # (T, n_cols) memmap column-wise in chunk-wide pieces reads
+                # every 4 KB page once per chunk that touches it —
+                # 4096/chunk x the file size of redundant I/O (~10x at
+                # T=10k), and the spill only engages when the data is too
+                # big to page-cache. A slab of >= 8192 columns consumes
+                # each fetched page fully; in-memory sources skip slabbing.
+                slab = (max(chunk, min(8192, max(1, 268_435_456 // T)))
+                        if isinstance(h_src, np.memmap) else chunk)
                 cov_sum = np.zeros(T, np.float64)
-                for s in range(0, n_cols, chunk):
-                    sub = np.ascontiguousarray(
-                        flat[:, s:s + chunk].T).astype(np_dtype)
-                    if eye_flat is not None:
-                        sub *= ~eye_flat[s:s + chunk, None]
-                    cov_sum += np.asarray(
-                        acf_ops.autocorrelate(jnp.asarray(sub)), np.float64
-                    ).sum(axis=0)
+                for s0 in range(0, n_cols, slab):
+                    sblock = np.ascontiguousarray(
+                        flat[:, s0:s0 + slab].T)  # (cols, T)
+                    for s in range(0, sblock.shape[0], chunk):
+                        sub = sblock[s:s + chunk].astype(np_dtype)
+                        if eye_flat is not None:
+                            sub *= ~eye_flat[s0 + s:s0 + s + chunk, None]
+                        cov_sum += np.asarray(
+                            acf_ops.autocorrelate(jnp.asarray(sub)),
+                            np.float64,
+                        ).sum(axis=0)
                 corr_array = cov_sum / n_cols
                 corr_array = corr_array / corr_array[0]
                 correlation[atom_pair] = corr_array

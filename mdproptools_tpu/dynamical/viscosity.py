@@ -159,10 +159,19 @@ class Viscosity:
         v_fit = visc[idx_start_time:idx_cut_time]
         s_fit = std[idx_start_time:idx_cut_time]
         # Divergence from the reference (viscosity.py:292): sigma=1/std**0.5
-        # with any zero std (single replicate, or identical replicates in a
-        # window) produces inf weights and a curve_fit failure. Fall back to
-        # an unweighted fit in that case; the reference shares the bug.
-        sigma = 1 / s_fit**0.5 if np.all(s_fit > 0) else None
+        # with any zero std (the t~0 samples where every replicate's running
+        # integral is still 0, a single replicate, or identical replicates)
+        # produces inf weights and a curve_fit failure; the reference shares
+        # the bug. Zero-std points are clamped to the window's smallest
+        # POSITIVE std (weighting elsewhere is untouched — an all-or-nothing
+        # unweighted fallback would silently change the fit for every point
+        # because of one degenerate sample); only a window with NO positive
+        # std (single replicate) falls back to an unweighted fit.
+        pos = s_fit[s_fit > 0]
+        if pos.size:
+            sigma = 1 / np.where(s_fit > 0, s_fit, pos.min()) ** 0.5
+        else:
+            sigma = None
         popt2, _ = optimize.curve_fit(
             self.exp_func,
             t_fit,

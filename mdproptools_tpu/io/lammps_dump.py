@@ -512,30 +512,61 @@ def iter_trajectory_blocks(
 def prefetch_iter(iterable, depth: int = 2):
     """Run an iterator in a background thread with a bounded queue so
     host-side parsing overlaps device compute (double buffering when
-    depth=2). Exceptions propagate to the consumer."""
+    depth=2). Exceptions propagate to the consumer.
+
+    If the consumer stops early (an exception in its loop body, a
+    ``break``, or generator GC), the feed thread is told to stop and the
+    queue is drained — otherwise it would block forever on ``q.put``,
+    leaking the thread plus the ~O(block x N x C) buffers it holds
+    (every streaming entry point wraps its block iterator in this)."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
 
     def feed():
         try:
-            for item in iterable:
-                q.put(item)
-            q.put(sentinel)
+            it = iter(iterable)
+            while not stop.is_set():
+                try:
+                    item = next(it)
+                except StopIteration:
+                    item = sentinel
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if item is sentinel:
+                    return
         except BaseException as exc:  # noqa: BLE001 - re-raised below
-            q.put(exc)
+            while not stop.is_set():
+                try:
+                    q.put(exc, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=feed, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def read_trajectory(

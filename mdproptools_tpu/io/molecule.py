@@ -177,6 +177,14 @@ class Molecule:
         if len(lines) < 4:
             raise ValueError(f"truncated mol file: {filename}")
         n = int(lines[3][:3])
+        if n <= 0:
+            raise ValueError(
+                f"mol file declares {n} atoms (V3000 or malformed counts "
+                f"line): {filename}")
+        if len(lines) < 4 + n:
+            raise ValueError(
+                f"truncated mol file: counts line declares {n} atoms but "
+                f"only {len(lines) - 4} atom lines follow: {filename}")
         species, coords = [], []
         for line in lines[4 : 4 + n]:
             parts = line.split()

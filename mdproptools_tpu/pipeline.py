@@ -62,17 +62,24 @@ def analyze(
     ``num_atoms_per_mol``/``timestep``/``units``/``precision``) follow
     the reference conventions.
     """
-    if not (rdf or msd or conductivity):
+    if rdf is None and msd is None and conductivity is None:
         raise ValueError("nothing to analyze: pass rdf=, msd= and/or "
                          "conductivity=")
+    if conductivity is not None and "volume" not in conductivity:
+        raise ValueError("conductivity= requires a 'volume' entry")
+    if rdf is not None:
+        missing = [k for k in ("r_cut", "bin_size", "partial_relations")
+                   if k not in rdf]
+        if missing:
+            raise ValueError(f"rdf= requires {missing} entries")
     working_dir = working_dir or os.getcwd()
     pattern = filename if os.path.isabs(filename) \
         else f"{working_dir}/{filename}"
     available = peek_dump_columns(pattern)
     wanted = {"id", "type"}
-    if rdf:
+    if rdf is not None:
         wanted |= {"x", "y", "z"}
-    if msd:
+    if msd is not None:
         # parse is the MSD leg's dominant cost at scale: skip the
         # wrapped x/y/z + image fallback whenever xu/yu/zu exist
         # (mass comes from the shared ``mass`` arg when given)
@@ -82,7 +89,7 @@ def analyze(
             wanted |= {"x", "y", "z", "xu", "yu", "zu", "ix", "iy", "iz"}
         if mass is None:
             wanted |= {"mass"}
-    if conductivity:
+    if conductivity is not None:
         wanted |= {"q", "vx", "vy", "vz"}
         if mass is None:
             wanted |= {"mass"}
@@ -100,11 +107,11 @@ def analyze(
     result = {}
 
     for blk in blocks:
-        if rdf_stream is None and rdf:
+        if rdf_stream is None and rdf is not None:
             rdf_stream, rdf_meta = _make_rdf(blk, num_types, mass,
                                              num_mols, num_atoms_per_mol,
                                              precision, rdf)
-        if msd_stream is None and msd:
+        if msd_stream is None and msd is not None:
             from mdproptools_tpu.dynamical.diffusion import Diffusion
 
             diff = Diffusion(timestep=timestep, units=units,
@@ -116,7 +123,7 @@ def analyze(
                 tao_coeff=msd.get("tao_coeff", 4), precision=precision,
                 msd_all_path=msd.get("msd_all_path"),
             )
-        if flux_stream is None and conductivity:
+        if flux_stream is None and conductivity is not None:
             from mdproptools_tpu.dynamical.conductivity import (
                 Conductivity,
             )

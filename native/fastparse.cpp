@@ -65,9 +65,19 @@ inline double parse_token(const char*& p, const char* end) {
     // identical to strtod. Exponents/specials/long tokens -> strtod.
     if (!any || (p < end && (*p == 'e' || *p == 'E')) || digits > 15 ||
         frac_digits > 15) {
+        // strtod needs a NUL-terminated string and would otherwise scan
+        // past `end` (the buffer may be a borrowed ndarray view with no
+        // trailing NUL — only Python bytes guarantee one). Copy the token
+        // into a bounded stack buffer. 63 chars is far beyond any real
+        // numeric token; a longer one parses its first 63 chars.
+        char buf[64];
+        size_t avail = static_cast<size_t>(end - start);
+        size_t len = avail < 63 ? avail : 63;
+        memcpy(buf, start, len);
+        buf[len] = '\0';
         char* q;
-        double value = strtod(start, &q);
-        p = q;
+        double value = strtod(buf, &q);
+        p = start + (q - buf);
         return value;
     }
     static const double pow10[] = {

@@ -122,3 +122,25 @@ def test_brute_vs_wkt_methods_agree():
     np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
     with pytest.raises(ValueError):
         Viscosity.autocorrelate(x, "nope")
+
+
+def test_fit_avg_visc_partial_zero_std_keeps_weighting(tmp_path):
+    """A handful of zero-std samples (e.g. replicates agreeing exactly
+    early on) must NOT discard sigma weighting for the whole window:
+    zero stds are clamped to the window's smallest positive std and the
+    weighted fit still recovers the true viscosity."""
+    A, alpha, tau1, tau2 = 2e-7, 0.6, 4.0e3, 2.0e4
+    time = np.arange(1, 8001) * 10.0
+    base = Viscosity.exp_func(time, A, alpha, tau1, tau2)
+    rng = np.random.default_rng(11)
+    reps = []
+    for r in range(4):
+        noise = base * rng.normal(0, 0.004, size=base.size)
+        noise[:300] = 0.0  # all replicates identical early -> std == 0
+        reps.append(base + noise)
+    v = Viscosity("unused", cutoff_time=0, volume=1.0,
+                  working_dir=str(tmp_path))
+    v.time = time
+    eta = v.fit_avg_visc(reps, plot=False)
+    want = A * alpha * tau1 + A * (1 - alpha) * tau2
+    assert abs(eta - want) / want < 0.05

@@ -277,3 +277,46 @@ def test_cols_as_matches_cols_astype(dump_pattern):
     two_pass = traj.cols(["x", "y", "z"]).astype(np.float32)
     assert fused.dtype == np.float32
     np.testing.assert_array_equal(fused, two_pass)
+
+
+def test_prefetch_iter_early_exit_stops_feeder():
+    """Abandoning a prefetch_iter mid-stream (consumer break/exception)
+    must stop the feed thread instead of leaving it blocked on q.put
+    holding parsed blocks."""
+    import threading
+    import time
+
+    from mdproptools_tpu.io.lammps_dump import prefetch_iter
+
+    n_before = threading.active_count()
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = prefetch_iter(gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # GeneratorExit -> finally: stop + drain
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before
+    assert len(produced) < 1000  # feeder stopped early, not exhausted
+
+
+def test_native_parser_unterminated_ndarray_view():
+    """A uint8 ndarray view whose final token ends exactly at the view
+    boundary (no trailing NUL) must parse the strtod-fallback token
+    (exponent form) correctly and not scan past the end."""
+    import numpy as np
+
+    from mdproptools_tpu.io import _native
+
+    raw = np.frombuffer(b"1.0 2.5e-3GARBAGE4.0 5.0", np.uint8)
+    view = raw[:10]  # exactly "1.0 2.5e-3"
+    out = _native.parse_floats(view, 2)
+    if out is None:  # native lib unavailable: nothing to pin
+        return
+    np.testing.assert_array_equal(out, [[1.0, 2.5e-3]])

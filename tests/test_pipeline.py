@@ -68,3 +68,26 @@ def test_pipeline_rejects_empty_request(five_frame_dir):
     with pytest.raises(ValueError, match="nothing to analyze"):
         pipeline.analyze("dump.nvt.*.dump", 9, MASS,
                          working_dir=five_frame_dir)
+
+
+def test_analyze_empty_dict_runs_leg_with_defaults(five_frame_dir,
+                                                   tmp_path):
+    """msd={} means 'MSD with all defaults' (every key has a default) —
+    it must run the leg, not be skipped as falsy. Legs with REQUIRED
+    keys (rdf: r_cut/bin_size/relations; conductivity: volume) raise a
+    clear ValueError up front instead of a mid-stream KeyError."""
+    out = pipeline.analyze(
+        "dump.nvt.*.dump", 9, MASS, num_mols=NUM_MOLS,
+        num_atoms_per_mol=NUM_APM, msd={}, precision="strict",
+        working_dir=five_frame_dir,
+    )
+    assert "msd" in out and "diffusion" in out
+
+    with pytest.raises(ValueError, match="requires"):
+        pipeline.analyze("dump.nvt.*.dump", 9, MASS, num_mols=NUM_MOLS,
+                         num_atoms_per_mol=NUM_APM, rdf={},
+                         working_dir=five_frame_dir)
+    with pytest.raises(ValueError, match="volume"):
+        pipeline.analyze("dump.nvt.*.dump", 9, MASS, num_mols=NUM_MOLS,
+                         num_atoms_per_mol=NUM_APM, conductivity={},
+                         working_dir=five_frame_dir)

@@ -145,8 +145,8 @@ def build_parser():
 
     p = sub.add_parser(
         "analyze",
-        help="shared-parse composite: RDF + MSD + GK conductivity from "
-             "ONE pass over the trajectory")
+        help="shared-parse composite: RDF + MSD + GK conductivity + "
+             "residence time from ONE pass over the trajectory")
     common(p, mols=True)
     p.add_argument("--num-types", type=int, required=True)
     p.add_argument("--mass", type=_floats, required=True)
@@ -162,6 +162,11 @@ def build_parser():
     p.add_argument("--tol", type=float, default=1e-4)
     p.add_argument("--working-dir", default=".")
     p.add_argument("--rdf-out", default="rdf.csv")
+    p.add_argument("--residence-shells", type=_shells, default=None,
+                   help="per-relation r_in:r_out shells, e.g. "
+                        "'0:2.8,0:3.5' — enables the residence leg")
+    p.add_argument("--residence-relations", type=_relations, default=None,
+                   help="[[ref types], [other types]] like --relations")
 
     p = sub.add_parser(
         "sweep",
@@ -297,6 +302,10 @@ def main(argv=None):
             conductivity=(dict(volume=args.volume, temp=args.temp,
                                tol=args.tol)
                           if args.volume else None),
+            residence_time=(
+                dict(r_cut=args.residence_shells,
+                     partial_relations=args.residence_relations)
+                if args.residence_shells else None),
             timestep=args.timestep, units=args.units,
             precision=args.precision, working_dir=args.working_dir,
         )
@@ -306,6 +315,10 @@ def main(argv=None):
         if "sigma" in out:
             print("conductivity (S/m), per mol type + total:",
                   out["sigma"])
+        if "residence_corr" in out:
+            print(f"residence C(t): {len(out['residence_corr'])} frames x "
+                  f"{len(out['residence_corr'].columns) - 1} relations "
+                  "(auto_correlation.csv)")
     elif cmd == "sweep":
         from mdproptools_tpu.parallel.sweep import sweep_rdf
 

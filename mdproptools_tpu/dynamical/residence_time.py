@@ -156,61 +156,28 @@ class ResidenceTime:
         """C(t) per relation: h-matrices on device, batched FFT ACF,
         normalized by C(0) (``residence_time.py:70-148``). Saves
         auto_correlation.csv and returns the DataFrame."""
-        dtype = resolve_dtype(self.precision)
-        # Streamed ingestion: the (T, N, 3) positions are reduced per
-        # block to the boolean shell matrices (T, Na, Nb) per relation —
-        # the minimum the survival ACF fundamentally needs. Each
-        # relation's matrices accumulate in a _SpillStore: in memory up
-        # to H_SPILL_BYTES, then on disk as a memmap, so HOST memory is
-        # O(block x N) + O(acf_chunk x T) for any trajectory length.
-        h_fns = None
-        h_parts: list = []
-        ts_parts = []
-        rel_meta = []
-        for blk in iter_trajectory_blocks(
-            self.filename, columns=["id", "type", "x", "y", "z"]
+        from mdproptools_tpu.io.lammps_dump import prefetch_iter
+
+        stream = self.residence_stream()
+        for blk in prefetch_iter(
+            iter_trajectory_blocks(
+                self.filename, columns=["id", "type", "x", "y", "z"]),
+            depth=2,
         ):
-            if h_fns is None:  # frame-0 metadata + per-relation setup
-                types = blk.col("type")[0].astype(np.int64)
-                if self.num_mols and self.num_atoms_per_mol:
-                    ids = blk.col("id")[0].astype(np.int64)
-                    codes = altered_atom_types(ids, self.num_mols,
-                                               self.num_atoms_per_mol)
-                else:
-                    codes = types
-                h_fns = []
-                for kl in range(len(self.relation_matrix)):
-                    k, l = (int(v) for v in self.relation_matrix[kl])
-                    atom_pair = f"{k}-{l}"
-                    self.atom_pairs.append(atom_pair)
-                    sel_k = np.nonzero(codes == k)[0]
-                    sel_l = np.nonzero(codes == l)[0]
-                    if sel_k.size == 0 or sel_l.size == 0:
-                        raise ValueError(
-                            f"relation {atom_pair}: no atoms of type "
-                            f"{k if not sel_k.size else l}"
-                        )
-                    r_in, r_out = self.r_cut[kl]
+            stream.fold(blk)
+        return stream.finalize()
 
-                    @jax.jit
-                    def h_fn(pos_d, len_d, ik=jnp.asarray(sel_k),
-                             il=jnp.asarray(sel_l), r_in=float(r_in),
-                             r_out=float(r_out)):
-                        def per_frame(p, L):
-                            return pair_ops.shell_mask(
-                                p[ik], p[il], L, r_in, r_out)
+    def residence_stream(self):
+        """(beyond-reference) push-model survival ACF:
+        ``fold(frame_block)`` reduces each parsed block to the boolean
+        shell matrices, ``finalize()`` -> the auto-correlation DataFrame
+        ``calc_auto_correlation`` returns. Lets the shared-parse
+        composite pipeline (``mdproptools_tpu.analyze``) feed ONE parse
+        into this plus the RDF/MSD/flux streams (positions are the same
+        x/y/z columns the RDF leg reads)."""
+        return _ResidenceStream(self)
 
-                        return jax.vmap(per_frame)(pos_d, len_d)
-
-                    h_fns.append(h_fn)
-                    rel_meta.append((k, l, atom_pair, sel_k, sel_l))
-                    h_parts.append(_SpillStore(H_SPILL_BYTES))
-            pos_b = jnp.asarray(blk.cols(["x", "y", "z"]), dtype)
-            len_b = jnp.asarray(blk.box_lengths, dtype)
-            for kl, fn in enumerate(h_fns):
-                h_parts[kl].append(np.asarray(fn(pos_b, len_b), bool))
-            ts_parts.append(blk.timesteps)
-
+    def _acf_finalize(self, h_parts, rel_meta, ts_parts, dtype):
         timesteps = np.concatenate(ts_parts)
         T = timesteps.shape[0]
         correlation = {"Time (ps)": timesteps.astype(np.float64) * self.dt}
@@ -376,3 +343,78 @@ class Displacement:
                     index=False,
                 )
         return out
+
+
+class _ResidenceStream:
+    """Push-model h-matrix accumulator built by
+    ``ResidenceTime.residence_stream``: ``fold(frame_block)`` reduces a
+    parsed block to the per-relation boolean shell matrices (device
+    kernel, spill-backed store), ``finalize()`` runs the batched
+    survival ACF and returns exactly what ``calc_auto_correlation``
+    returns (and saves auto_correlation.csv).
+
+    Streamed ingestion: the (T, N, 3) positions are reduced per block to
+    the boolean shell matrices (T, Na, Nb) per relation — the minimum
+    the survival ACF fundamentally needs. Each relation's matrices
+    accumulate in a ``_SpillStore``: in memory up to ``H_SPILL_BYTES``,
+    then on disk as a memmap, so HOST memory is O(block x N) +
+    O(acf_chunk x T) for any trajectory length."""
+
+    def __init__(self, rt: ResidenceTime):
+        self.rt = rt
+        self.dtype = resolve_dtype(rt.precision)
+        self._np_dtype = np.dtype(jnp.dtype(self.dtype).name)
+        self.h_fns = None
+        self.h_parts: list = []
+        self.ts_parts: list = []
+        self.rel_meta: list = []
+
+    def fold(self, blk):
+        rt = self.rt
+        if self.h_fns is None:  # frame-0 metadata + per-relation setup
+            types = blk.col("type")[0].astype(np.int64)
+            if rt.num_mols and rt.num_atoms_per_mol:
+                ids = blk.col("id")[0].astype(np.int64)
+                codes = altered_atom_types(ids, rt.num_mols,
+                                           rt.num_atoms_per_mol)
+            else:
+                codes = types
+            self.h_fns = []
+            for kl in range(len(rt.relation_matrix)):
+                k, l = (int(v) for v in rt.relation_matrix[kl])
+                atom_pair = f"{k}-{l}"
+                rt.atom_pairs.append(atom_pair)
+                sel_k = np.nonzero(codes == k)[0]
+                sel_l = np.nonzero(codes == l)[0]
+                if sel_k.size == 0 or sel_l.size == 0:
+                    raise ValueError(
+                        f"relation {atom_pair}: no atoms of type "
+                        f"{k if not sel_k.size else l}"
+                    )
+                r_in, r_out = rt.r_cut[kl]
+
+                @jax.jit
+                def h_fn(pos_d, len_d, ik=jnp.asarray(sel_k),
+                         il=jnp.asarray(sel_l), r_in=float(r_in),
+                         r_out=float(r_out)):
+                    def per_frame(p, L):
+                        return pair_ops.shell_mask(
+                            p[ik], p[il], L, r_in, r_out)
+
+                    return jax.vmap(per_frame)(pos_d, len_d)
+
+                self.h_fns.append(h_fn)
+                self.rel_meta.append((k, l, atom_pair, sel_k, sel_l))
+                self.h_parts.append(_SpillStore(H_SPILL_BYTES))
+        # fused f64->dtype column copy (one pass, no f64 temporary)
+        pos_b = jnp.asarray(blk.cols_as(["x", "y", "z"], self._np_dtype))
+        len_b = jnp.asarray(blk.box_lengths, self.dtype)
+        for kl, fn in enumerate(self.h_fns):
+            self.h_parts[kl].append(np.asarray(fn(pos_b, len_b), bool))
+        self.ts_parts.append(blk.timesteps)
+
+    def finalize(self):
+        if not self.ts_parts:
+            raise ValueError("no frames folded")
+        return self.rt._acf_finalize(self.h_parts, self.rel_meta,
+                                     self.ts_parts, self.dtype)

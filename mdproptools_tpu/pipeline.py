@@ -35,12 +35,14 @@ def analyze(
     rdf=None,
     msd=None,
     conductivity=None,
+    residence_time=None,
     timestep=1,
     units="real",
     precision="fast",
     working_dir=None,
 ):
-    """Run any subset of {RDF, MSD, GK conductivity} from ONE parse.
+    """Run any subset of {RDF, MSD, GK conductivity, residence time}
+    from ONE parse.
 
     ``rdf``: dict(r_cut, bin_size, partial_relations[, path_or_buff,
     save_mode=False, spatial_sort="auto", alter_atom_types=False]) ->
@@ -58,13 +60,23 @@ def analyze(
     result["sigma"] plus "charge_flux_corr", "integral"
     (identical to the ``Conductivity`` pipeline).
 
+    ``residence_time``: dict(r_cut, partial_relations[, dt=1,
+    alter_atom_types=False, fit=False, cut_percent=0.9]) ->
+    result["residence_corr"] (and "residence_time" with fit=True)
+    (identical to ``ResidenceTime.calc_auto_correlation`` /
+    ``fit_auto_correlation``; ``r_cut`` is the per-relation
+    (r_in, r_out) shell list; ``alter_atom_types=True`` applies the
+    per-molecule type remap, which the standalone class triggers by
+    passing num_mols — explicit here because num_mols is shared).
+
     Shared args (``num_types``/``mass``/``num_mols``/
     ``num_atoms_per_mol``/``timestep``/``units``/``precision``) follow
     the reference conventions.
     """
-    if rdf is None and msd is None and conductivity is None:
-        raise ValueError("nothing to analyze: pass rdf=, msd= and/or "
-                         "conductivity=")
+    if (rdf is None and msd is None and conductivity is None
+            and residence_time is None):
+        raise ValueError("nothing to analyze: pass rdf=, msd=, "
+                         "conductivity= and/or residence_time=")
     if conductivity is not None and "volume" not in conductivity:
         raise ValueError("conductivity= requires a 'volume' entry")
     if rdf is not None:
@@ -72,6 +84,11 @@ def analyze(
                    if k not in rdf]
         if missing:
             raise ValueError(f"rdf= requires {missing} entries")
+    if residence_time is not None:
+        missing = [k for k in ("r_cut", "partial_relations")
+                   if k not in residence_time]
+        if missing:
+            raise ValueError(f"residence_time= requires {missing} entries")
     working_dir = working_dir or os.getcwd()
     pattern = filename if os.path.isabs(filename) \
         else f"{working_dir}/{filename}"
@@ -93,6 +110,8 @@ def analyze(
         wanted |= {"q", "vx", "vy", "vz"}
         if mass is None:
             wanted |= {"mass"}
+    if residence_time is not None:
+        wanted |= {"x", "y", "z"}  # same columns the RDF leg reads
     columns = [c for c in ["id", "mol", "type", "q", "mass", "x", "y",
                            "z", "xu", "yu", "zu", "ix", "iy", "iz",
                            "vx", "vy", "vz"]
@@ -101,9 +120,9 @@ def analyze(
     blocks = prefetch_iter(
         iter_trajectory_blocks(pattern, columns=columns), depth=2)
 
-    rdf_stream = msd_stream = flux_stream = None
+    rdf_stream = msd_stream = flux_stream = res_stream = None
     rdf_meta = None
-    diff = cond = None
+    diff = cond = res = None
     result = {}
 
     for blk in blocks:
@@ -136,6 +155,21 @@ def analyze(
                 precision=precision,
             )
             flux_stream = cond.flux_stream()
+        if res_stream is None and residence_time is not None:
+            from mdproptools_tpu.dynamical.residence_time import (
+                ResidenceTime,
+            )
+
+            alter = residence_time.get("alter_atom_types", False)
+            res = ResidenceTime(
+                residence_time["r_cut"],
+                residence_time["partial_relations"], filename,
+                dt=residence_time.get("dt", 1),
+                num_mols=num_mols if alter else None,
+                num_atoms_per_mol=num_atoms_per_mol if alter else None,
+                working_dir=working_dir, precision=precision,
+            )
+            res_stream = res.residence_stream()
         with stage("pipeline_block", frames=blk.data.shape[0]):
             if rdf_stream is not None:
                 rdf_stream.fold(blk.cols(["x", "y", "z"]), None,
@@ -144,6 +178,8 @@ def analyze(
                 msd_stream.fold(blk)
             if flux_stream is not None:
                 flux_stream.fold(blk)
+            if res_stream is not None:
+                res_stream.fold(blk)
 
     if rdf_stream is not None:
         from mdproptools_tpu.structural.rdf_cn import _radii, _save_rdf
@@ -179,6 +215,14 @@ def analyze(
                 tot, integral, conductivity.get("tol", 1e-4))
             result["sigma"] = cond.green_kubo(ave)
             result["sigma_time_range"] = time_range
+    if res_stream is not None:
+        result["residence_corr"] = res_stream.finalize()
+        if residence_time.get("fit", False):
+            # fit=False default: the stretched-exp fit needs enough
+            # decay to converge (same reason conductivity's fit gates)
+            result["residence_time"] = res.fit_auto_correlation(
+                cut_percent=residence_time.get("cut_percent", 0.9),
+                plot=residence_time.get("plot", False))
     return result
 
 

@@ -48,12 +48,15 @@ def test_cli_analyze_composite(mg_tfsi_dme_dir, tmp_path, capsys):
         "--mass", "16,12.01,1.008,14.01,32.06,16,12.01,19,24.305",
         "--num-mols", "591,66,33", "--num-atoms-per-mol", "16,15,1",
         "--r-cut", "5", "--bin-size", "0.1", "--relations", "8-1,9-1",
+        "--residence-shells", "0:2.8", "--residence-relations", "9-1",
         "--working-dir", str(tmp_path), "--precision", "strict",
     ])
     assert rc == 0
     assert os.path.exists(tmp_path / "rdf.csv")
+    assert os.path.exists(tmp_path / "auto_correlation.csv")
     captured = capsys.readouterr().out
     assert "diffusion" in captured  # MSD leg printed calc_diff output
+    assert "residence C(t)" in captured
 
 
 def test_cli_relations_parsing():

@@ -91,3 +91,25 @@ def test_analyze_empty_dict_runs_leg_with_defaults(five_frame_dir,
         pipeline.analyze("dump.nvt.*.dump", 9, MASS, num_mols=NUM_MOLS,
                          num_atoms_per_mol=NUM_APM, conductivity={},
                          working_dir=five_frame_dir)
+
+
+def test_pipeline_residence_leg_matches_separate_call(five_frame_dir):
+    """The residence_time= leg rides the shared parse and must be
+    bit-identical to ResidenceTime.calc_auto_correlation (same stream,
+    same fold order)."""
+    from mdproptools_tpu.dynamical.residence_time import ResidenceTime
+
+    out = pipeline.analyze(
+        "dump.nvt.*.dump", 9, MASS, num_mols=NUM_MOLS,
+        num_atoms_per_mol=NUM_APM,
+        rdf=dict(r_cut=8.0, bin_size=0.2, partial_relations=RELS,
+                 save_mode=False),
+        residence_time=dict(r_cut=[(0.0, 2.8)],
+                            partial_relations=[[9], [1]]),
+        precision="strict", working_dir=five_frame_dir,
+    )
+    want = ResidenceTime(
+        [(0.0, 2.8)], [[9], [1]], f"{five_frame_dir}/dump.nvt.*.dump",
+        working_dir=five_frame_dir, precision="strict",
+    ).calc_auto_correlation()
+    pd.testing.assert_frame_equal(out["residence_corr"], want)

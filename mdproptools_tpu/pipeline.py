@@ -1,7 +1,8 @@
 """
 Shared-parse composite analysis: ONE streamed pass over a dump glob
 feeds several property streams at once (RDF + MSD + Green-Kubo charge
-flux), instead of each entry point re-parsing the trajectory.
+flux + residence time + hydration + number density), instead of each
+entry point re-parsing the trajectory.
 
 Why (beyond-reference; the reference re-parses per property): parsing
 is the dominant cost of the MSD and charge-flux legs — on the bundled
@@ -10,8 +11,9 @@ north-star 10k-frame workload each extra pass over the files costs
 minutes. The property math is UNCHANGED: the pipeline folds the same
 parsed blocks into the same push-model streams the individual entry
 points use (``rdf_cn._make_rdf_mean_stream``, ``Diffusion.msd_stream``,
-``Conductivity.flux_stream``), so each result is identical to the
-separate call (pinned by tests/test_pipeline.py).
+``Conductivity.flux_stream``, ``ResidenceTime.residence_stream``,
+``hydration_stream``, ``number_density_stream``), so each result is
+identical to the separate call (pinned by tests/test_pipeline.py).
 """
 
 import os
@@ -36,13 +38,15 @@ def analyze(
     msd=None,
     conductivity=None,
     residence_time=None,
+    hydration=None,
+    number_density=None,
     timestep=1,
     units="real",
     precision="fast",
     working_dir=None,
 ):
-    """Run any subset of {RDF, MSD, GK conductivity, residence time}
-    from ONE parse.
+    """Run any subset of {RDF, MSD, GK conductivity, residence time,
+    hydration, number density} from ONE parse.
 
     ``rdf``: dict(r_cut, bin_size, partial_relations[, path_or_buff,
     save_mode=False, spatial_sort="auto", alter_atom_types=False]) ->
@@ -69,14 +73,26 @@ def analyze(
     per-molecule type remap, which the standalone class triggers by
     passing num_mols — explicit here because num_mols is shared).
 
+    ``hydration``: dict(cation_type, water_type, r_cut) ->
+    result["hydration"] (identical to ``get_hydration_number``;
+    cation/water are 1-based MOLECULE types, so num_mols/
+    num_atoms_per_mol are required).
+
+    ``number_density``: dict(surface_atom, atom_types, bin_size,
+    dist_from_interface, axis_norm_interface[, results_file,
+    save_mode=True, alter_atom_types=False]) ->
+    result["number_density"] (identical to ``calc_number_density``).
+
     Shared args (``num_types``/``mass``/``num_mols``/
     ``num_atoms_per_mol``/``timestep``/``units``/``precision``) follow
     the reference conventions.
     """
-    if (rdf is None and msd is None and conductivity is None
-            and residence_time is None):
-        raise ValueError("nothing to analyze: pass rdf=, msd=, "
-                         "conductivity= and/or residence_time=")
+    legs = (rdf, msd, conductivity, residence_time, hydration,
+            number_density)
+    if all(v is None for v in legs):
+        raise ValueError(
+            "nothing to analyze: pass rdf=, msd=, conductivity=, "
+            "residence_time=, hydration= and/or number_density=")
     if conductivity is not None and "volume" not in conductivity:
         raise ValueError("conductivity= requires a 'volume' entry")
     if rdf is not None:
@@ -89,6 +105,18 @@ def analyze(
                    if k not in residence_time]
         if missing:
             raise ValueError(f"residence_time= requires {missing} entries")
+    if hydration is not None:
+        missing = [k for k in ("cation_type", "water_type", "r_cut")
+                   if k not in hydration]
+        if missing:
+            raise ValueError(f"hydration= requires {missing} entries")
+    if number_density is not None:
+        missing = [k for k in ("surface_atom", "atom_types", "bin_size",
+                               "dist_from_interface",
+                               "axis_norm_interface")
+                   if k not in number_density]
+        if missing:
+            raise ValueError(f"number_density= requires {missing} entries")
     working_dir = working_dir or os.getcwd()
     pattern = filename if os.path.isabs(filename) \
         else f"{working_dir}/{filename}"
@@ -110,7 +138,8 @@ def analyze(
         wanted |= {"q", "vx", "vy", "vz"}
         if mass is None:
             wanted |= {"mass"}
-    if residence_time is not None:
+    if (residence_time is not None or hydration is not None
+            or number_density is not None):
         wanted |= {"x", "y", "z"}  # same columns the RDF leg reads
     columns = [c for c in ["id", "mol", "type", "q", "mass", "x", "y",
                            "z", "xu", "yu", "zu", "ix", "iy", "iz",
@@ -121,6 +150,7 @@ def analyze(
         iter_trajectory_blocks(pattern, columns=columns), depth=2)
 
     rdf_stream = msd_stream = flux_stream = res_stream = None
+    hyd_stream = nd_stream = None
     rdf_meta = None
     diff = cond = res = None
     result = {}
@@ -170,6 +200,35 @@ def analyze(
                 working_dir=working_dir, precision=precision,
             )
             res_stream = res.residence_stream()
+        if hyd_stream is None and hydration is not None:
+            from mdproptools_tpu.structural.hydration_number import (
+                hydration_stream,
+            )
+
+            hyd_stream = hydration_stream(
+                hydration["cation_type"], hydration["water_type"],
+                hydration["r_cut"], num_mols=num_mols,
+                num_atoms_per_mol=num_atoms_per_mol,
+                working_dir=working_dir)
+        if nd_stream is None and number_density is not None:
+            from mdproptools_tpu.structural.number_density import (
+                number_density_stream,
+            )
+
+            nd_alter = number_density.get("alter_atom_types", False)
+            nd_stream = number_density_stream(
+                number_density["surface_atom"],
+                number_density["atom_types"],
+                number_density["bin_size"],
+                number_density["dist_from_interface"],
+                number_density["axis_norm_interface"],
+                num_mols=num_mols if nd_alter else None,
+                num_atoms_per_mol=(num_atoms_per_mol if nd_alter
+                                   else None),
+                working_dir=working_dir,
+                results_file=number_density.get(
+                    "results_file", "number_density.csv"),
+                save_mode=number_density.get("save_mode", True))
         with stage("pipeline_block", frames=blk.data.shape[0]):
             if rdf_stream is not None:
                 rdf_stream.fold(blk.cols(["x", "y", "z"]), None,
@@ -180,6 +239,10 @@ def analyze(
                 flux_stream.fold(blk)
             if res_stream is not None:
                 res_stream.fold(blk)
+            if hyd_stream is not None:
+                hyd_stream.fold(blk)
+            if nd_stream is not None:
+                nd_stream.fold(blk)
 
     if rdf_stream is not None:
         from mdproptools_tpu.structural.rdf_cn import _radii, _save_rdf
@@ -215,6 +278,10 @@ def analyze(
                 tot, integral, conductivity.get("tol", 1e-4))
             result["sigma"] = cond.green_kubo(ave)
             result["sigma_time_range"] = time_range
+    if hyd_stream is not None:
+        result["hydration"] = hyd_stream.finalize()
+    if nd_stream is not None:
+        result["number_density"] = nd_stream.finalize()
     if res_stream is not None:
         result["residence_corr"] = res_stream.finalize()
         if residence_time.get("fit", False):

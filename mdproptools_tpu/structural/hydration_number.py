@@ -121,68 +121,103 @@ def get_hydration_number(
     reference selects on its ``mol_type`` column,
     hydration_number.py:54-55)."""
     working_dir = working_dir or os.getcwd()
-    system = System(num_mols, num_atoms_per_mol)
-    mol_type = system.mol_type
-    cation_sel = np.nonzero(mol_type == cation_type)[0]
-    water_sel = np.nonzero(mol_type == water_type)[0]
-    if cation_sel.size == 0 or water_sel.size == 0:
-        raise ValueError("no atoms match cation_type/water_type")
-    # water atoms grouped per molecule; first atom = coordinating (O),
-    # atoms 2 and 3 define the bisector (hydration_number.py:60-67)
-    napm = system.num_atoms_per_mol[water_type - 1]
-    if napm < 3:
-        raise ValueError("water molecule type must have >= 3 atoms")
-    w_atoms = water_sel.reshape(-1, napm)  # (n_waters, atoms_per_water)
-
-    ik = jnp.asarray(cation_sel)
-    io = jnp.asarray(w_atoms[:, 0])
-    ih1 = jnp.asarray(w_atoms[:, 1])
-    ih2 = jnp.asarray(w_atoms[:, 2])
-    rc2 = float(r_cut) ** 2
-
-    @jax.jit
-    def block_fn(pos_b, len_b):
-        """(B, N, 3) -> per-frame (cos (C, W), within (C, W), factor)."""
-
-        def frame(p, L):
-            cat = p[ik]  # (C, 3)
-            o = p[io]  # (W, 3)
-            vec = p[ih1] + p[ih2] - 2.0 * o  # (W, 3)
-            # minimum-image cation - O displacement (reference
-            # _calc_rsq order: head - others)
-            d = minimum_image(cat[:, None, :] - o[None, :, :], L)
-            rsq = jnp.sum(d * d, axis=2)  # (C, W)
-            within = rsq < rc2
-            dot = jnp.einsum("cwk,wk->cw", d, vec)
-            denom = jnp.sqrt(rsq) * jnp.linalg.norm(vec, axis=1)[None, :]
-            cos = dot / jnp.where(denom == 0, 1.0, denom)
-            hits = jnp.sum(within & (cos < -0.72), axis=1)
-            totals = jnp.sum(within, axis=1)
-            per_cation = jnp.where(totals > 0, hits / jnp.maximum(totals, 1),
-                                   0.0)
-            return cos, within, per_cation.mean()
-
-        return jax.vmap(frame)(pos_b, len_b)
-
-    all_cos = []
-    factors = []
+    stream = hydration_stream(cation_type, water_type, r_cut,
+                              num_mols=num_mols,
+                              num_atoms_per_mol=num_atoms_per_mol,
+                              working_dir=working_dir)
     for blk in iter_trajectory_blocks(
         os.path.join(working_dir, dump_pattern),
         columns=["id", "type", "x", "y", "z"],
     ):
-        cos_b, within_b, fac_b = block_fn(
+        stream.fold(blk)
+    return stream.finalize()
+
+
+def hydration_stream(cation_type, water_type, r_cut, num_mols=None,
+                     num_atoms_per_mol=None, working_dir=None):
+    """(beyond-reference) push-model hydration analysis:
+    ``fold(frame_block)`` one parsed block at a time, ``finalize()`` ->
+    the angles DataFrame ``get_hydration_number`` returns (and saves
+    angles_df.csv). Lets the shared-parse composite pipeline
+    (``mdproptools_tpu.analyze``) feed one parse into this plus the
+    other property streams (same x/y/z columns as the RDF leg)."""
+    return _HydrationStream(cation_type, water_type, r_cut, num_mols,
+                            num_atoms_per_mol,
+                            working_dir or os.getcwd())
+
+
+class _HydrationStream:
+    def __init__(self, cation_type, water_type, r_cut, num_mols,
+                 num_atoms_per_mol, working_dir):
+        self.working_dir = working_dir
+        system = System(num_mols, num_atoms_per_mol)
+        mol_type = system.mol_type
+        cation_sel = np.nonzero(mol_type == cation_type)[0]
+        water_sel = np.nonzero(mol_type == water_type)[0]
+        if cation_sel.size == 0 or water_sel.size == 0:
+            raise ValueError("no atoms match cation_type/water_type")
+        # water atoms grouped per molecule; first atom = coordinating
+        # (O), atoms 2 and 3 define the bisector
+        # (hydration_number.py:60-67)
+        napm = system.num_atoms_per_mol[water_type - 1]
+        if napm < 3:
+            raise ValueError("water molecule type must have >= 3 atoms")
+        w_atoms = water_sel.reshape(-1, napm)  # (n_waters, per_water)
+
+        ik = jnp.asarray(cation_sel)
+        io = jnp.asarray(w_atoms[:, 0])
+        ih1 = jnp.asarray(w_atoms[:, 1])
+        ih2 = jnp.asarray(w_atoms[:, 2])
+        rc2 = float(r_cut) ** 2
+
+        @jax.jit
+        def block_fn(pos_b, len_b):
+            """(B, N, 3) -> per-frame (cos (C, W), within, factor)."""
+
+            def frame(p, L):
+                cat = p[ik]  # (C, 3)
+                o = p[io]  # (W, 3)
+                vec = p[ih1] + p[ih2] - 2.0 * o  # (W, 3)
+                # minimum-image cation - O displacement (reference
+                # _calc_rsq order: head - others)
+                d = minimum_image(cat[:, None, :] - o[None, :, :], L)
+                rsq = jnp.sum(d * d, axis=2)  # (C, W)
+                within = rsq < rc2
+                dot = jnp.einsum("cwk,wk->cw", d, vec)
+                denom = (jnp.sqrt(rsq)
+                         * jnp.linalg.norm(vec, axis=1)[None, :])
+                cos = dot / jnp.where(denom == 0, 1.0, denom)
+                hits = jnp.sum(within & (cos < -0.72), axis=1)
+                totals = jnp.sum(within, axis=1)
+                per_cation = jnp.where(
+                    totals > 0, hits / jnp.maximum(totals, 1), 0.0)
+                return cos, within, per_cation.mean()
+
+            return jax.vmap(frame)(pos_b, len_b)
+
+        self._block_fn = block_fn
+        self._all_cos: list = []
+        self._factors: list = []
+
+    def fold(self, blk):
+        cos_b, within_b, fac_b = self._block_fn(
             jnp.asarray(blk.cols(["x", "y", "z"])),
             jnp.asarray(blk.box_lengths),
         )
         cos_b = np.asarray(cos_b)
         within_b = np.asarray(within_b)
-        factors.extend(np.asarray(fac_b, np.float64).tolist())
+        self._factors.extend(np.asarray(fac_b, np.float64).tolist())
         # ragged artifact extraction (reference row order: frame, cation)
         for t in range(cos_b.shape[0]):
             for c in range(cos_b.shape[1]):
-                all_cos.extend(cos_b[t, c, within_b[t, c]].tolist())
+                self._all_cos.extend(cos_b[t, c, within_b[t, c]].tolist())
 
-    angles_df = pd.DataFrame(all_cos, columns=["angles_distribution"])
-    angles_df["hydration_factor"] = sum(factors) / len(factors)
-    angles_df.to_csv(os.path.join(working_dir, "angles_df.csv"))
-    return angles_df
+    def finalize(self):
+        if not self._factors:
+            raise ValueError("no frames folded")
+        angles_df = pd.DataFrame(self._all_cos,
+                                 columns=["angles_distribution"])
+        angles_df["hydration_factor"] = (sum(self._factors)
+                                         / len(self._factors))
+        angles_df.to_csv(os.path.join(self.working_dir, "angles_df.csv"))
+        return angles_df

@@ -113,3 +113,34 @@ def test_pipeline_residence_leg_matches_separate_call(five_frame_dir):
         working_dir=five_frame_dir, precision="strict",
     ).calc_auto_correlation()
     pd.testing.assert_frame_equal(out["residence_corr"], want)
+
+
+def test_pipeline_hydration_and_number_density_legs(five_frame_dir):
+    """The hydration= and number_density= legs ride the shared parse and
+    must be bit-identical to the standalone entry points."""
+    from mdproptools_tpu.structural.hydration_number import (
+        get_hydration_number,
+    )
+    from mdproptools_tpu.structural.number_density import (
+        calc_number_density,
+    )
+
+    out = pipeline.analyze(
+        "dump.nvt.*.dump", 9, MASS, num_mols=NUM_MOLS,
+        num_atoms_per_mol=NUM_APM,
+        hydration=dict(cation_type=3, water_type=1, r_cut=3.0),
+        number_density=dict(surface_atom=9, atom_types=[1, 8],
+                            bin_size=0.5, dist_from_interface=49.2,
+                            axis_norm_interface="z", save_mode=False),
+        precision="strict", working_dir=five_frame_dir,
+    )
+    want_h = get_hydration_number(
+        "dump.nvt.*.dump", cation_type=3, water_type=1, r_cut=3.0,
+        num_mols=NUM_MOLS, num_atoms_per_mol=NUM_APM,
+        working_dir=five_frame_dir)
+    pd.testing.assert_frame_equal(out["hydration"], want_h)
+    want_nd = calc_number_density(
+        "dump.nvt.*.dump", surface_atom=9, atom_types=[1, 8],
+        bin_size=0.5, dist_from_interface=49.2, axis_norm_interface="z",
+        working_dir=five_frame_dir, save_mode=False)
+    pd.testing.assert_frame_equal(out["number_density"], want_nd)

@@ -401,7 +401,31 @@ class _ResidenceStream:
                         return pair_ops.shell_mask(
                             p[ik], p[il], L, r_in, r_out)
 
-                    return jax.vmap(per_frame)(pos_d, len_d)
+                    mask = jax.vmap(per_frame)(pos_d, len_d)  # (B,Na,Nb)
+                    # bit-pack 8 FRAMES per byte ON DEVICE before the
+                    # fetch: the raw (block, Na, Nb) bool crosses the
+                    # host<->device link at one byte per pair (a 42k-atom
+                    # relation is ~160 MB per 128-frame block through the
+                    # slow tunnel — measured ~12 s/block); packing along
+                    # the LEADING (frame) axis keeps the minor dims'
+                    # layout untouched (a lane-crossing pack along Nb
+                    # measured SLOWER than the fetch it saved). Frames
+                    # are padded to a multiple of 8; little-endian bit
+                    # order matches np.unpackbits(axis=0,
+                    # bitorder="little") on the host.
+                    b = mask.shape[0]
+                    pad_b = (-b) % 8
+                    if pad_b:
+                        mask = jnp.pad(mask,
+                                       ((0, pad_b), (0, 0), (0, 0)))
+                    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128],
+                                    jnp.float32)
+                    packed = jnp.einsum(
+                        "gknw,k->gnw",
+                        mask.reshape((b + pad_b) // 8, 8,
+                                     *mask.shape[1:]).astype(jnp.float32),
+                        w)
+                    return packed.astype(jnp.uint8)
 
                 self.h_fns.append(h_fn)
                 self.rel_meta.append((k, l, atom_pair, sel_k, sel_l))
@@ -409,8 +433,13 @@ class _ResidenceStream:
         # fused f64->dtype column copy (one pass, no f64 temporary)
         pos_b = jnp.asarray(blk.cols_as(["x", "y", "z"], self._np_dtype))
         len_b = jnp.asarray(blk.box_lengths, self.dtype)
+        n_frames = blk.data.shape[0]
         for kl, fn in enumerate(self.h_fns):
-            self.h_parts[kl].append(np.asarray(fn(pos_b, len_b), bool))
+            packed = np.asarray(fn(pos_b, len_b))  # (ceil(B/8), Na, Nb)
+            mask = np.unpackbits(
+                packed, axis=0, count=n_frames,
+                bitorder="little").astype(bool)
+            self.h_parts[kl].append(mask)
         self.ts_parts.append(blk.timesteps)
 
     def finalize(self):

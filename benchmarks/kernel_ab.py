@@ -101,7 +101,8 @@ def main_dispatch():
     pos1 = traj.cols(["x", "y", "z"])[0]
     L1 = traj.box_lengths[0]
 
-    for reps in [(2, 2, 1), (2, 2, 2)]:
+    sizes = [(1, 1, 1), (2, 1, 1), (2, 2, 1), (2, 2, 2)]
+    for reps in sizes:
         shifts = [(i, j, k) for i in range(reps[0])
                   for j in range(reps[1]) for k in range(reps[2])]
         pos = np.concatenate([pos1 + np.array(s) * L1 for s in shifts])
@@ -140,8 +141,77 @@ def main_dispatch():
         assert exact, "type-block kernel != rel kernel"
 
 
+def main_lane_split():
+    """G=2 lane-split column pairing vs the unsplit walk (both with the
+    remainder-block full encoding), production dispatch at 42k/84k.
+    Bit-equality of the normalized rows is asserted."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(HERE), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from mdproptools_tpu.io.lammps_dump import read_trajectory
+    from mdproptools_tpu.ops import pairs_pallas
+    from mdproptools_tpu.structural import rdf_cn
+    from mdproptools_tpu.utilities.benchmarking import (
+        steady_state_seconds_per_frame,
+    )
+
+    traj = read_trajectory(DATA, columns=["id", "type", "x", "y", "z"])
+    codes1 = traj.col("type")[0].astype(np.int64)
+    pos1 = traj.cols(["x", "y", "z"])[0]
+    L1 = traj.box_lengths[0]
+
+    sizes = [(2, 2, 1), (2, 2, 2)]
+    if "small" in sys.argv[1:]:
+        sizes = [(2, 2, 1)]
+    for reps in sizes:
+        shifts = [(i, j, k) for i in range(reps[0])
+                  for j in range(reps[1]) for k in range(reps[2])]
+        pos = np.concatenate([pos1 + np.array(s) * L1 for s in shifts])
+        codes = np.tile(codes1, len(shifts))
+        L = L1 * np.array(reps)
+        counts = np.bincount(codes - 1, minlength=9).astype(np.float64)
+
+        def run(T):
+            posT = np.broadcast_to(pos, (T,) + pos.shape).copy()
+            lenT = np.broadcast_to(L, (T, 3)).copy()
+            return rdf_cn._rdf_mean(
+                posT, codes, 9, lenT, 0.05, 400, 20.0, RELATIONS,
+                counts, counts, exclude_self=True, with_full=True,
+                dtype=jnp.float32,
+            )
+
+        results = {}
+        for name, flag in [("unsplit", False), ("lane-split", True)]:
+            pairs_pallas.REL_LANE_SPLIT = flag
+            rdf_cn._FORCE_KERNEL = "rel"
+            rdf_cn._STEP_CACHE.clear()
+            dt, noisy, (g_full, g_part) = steady_state_seconds_per_frame(
+                run, t_small=2, t_big=8, repeats=2)
+            results[name] = {
+                "ms": round(dt * 1000.0, 1),
+                "hist": (np.asarray(g_full, np.float64),
+                         np.asarray(g_part, np.float64)),
+            }
+            print(json.dumps({"atoms": len(codes), "walk": name,
+                              "ms_per_frame": results[name]["ms"],
+                              "noise_limited": bool(noisy)}), flush=True)
+        rdf_cn._FORCE_KERNEL = None
+        pairs_pallas.REL_LANE_SPLIT = True
+        a, b = results["unsplit"]["hist"], results["lane-split"]["hist"]
+        exact = (np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1]))
+        print(json.dumps({"atoms": len(codes), "bit_equal": bool(exact)}),
+              flush=True)
+        assert exact, "lane-split kernel != unsplit kernel"
+
+
 if __name__ == "__main__":
     if "dispatch" in sys.argv[1:]:
         main_dispatch()
+    elif "lane_split" in sys.argv[1:]:
+        main_lane_split()
     else:
         main()

@@ -574,12 +574,20 @@ def pair_hist_rows_pallas(
 # single fused multi-hot one-hot dot per column:
 #
 #   row blocks of HB = ceil(n_bins/F) sublanes each:
-#     block 0 = full histogram, block 1+r = relation r, + 1 trash row;
-#   per pair: joint_full = hi (or trash), joint_rel = (1+rel)*HB + hi
-#   where rel is the unique matching relation (relations are distinct
-#   (a, b) pairs, so masks are exclusive); triangle mode adds the
-#   mirrored-orientation insert (1+rel(tb, ta))*HB + hi. The lhs of the
-#   dot is the SUM of these one-hots (values 0..3, exact in bf16).
+#     block 0 = REMAINDER (pairs matching no relation), block 1+r =
+#     relation r, + 1 trash row;
+#   per pair ONE one-hot insert: joint = (rel ? 1+rel : 0)*HB + hi (or
+#   trash when invalid) — the full histogram is assembled as the sum
+#   over all blocks after the kernel, and in triangle mode the blocks
+#   are UNORDERED relations ((a,b)/(b,a) deduplicated; the ordered
+#   histograms are equal by pair symmetry, so the wrapper reads
+#   rels[r] = block * (2 if a==b else 1) and full = 2 * sum(blocks)).
+#   Earlier rounds inserted up to 3 one-hots per pair (full + forward +
+#   mirrored); the remainder/unordered encode cut 42k-atom RDF from
+#   273 to 198 ms/frame and 84k from 588 to 427 (measured v5e,
+#   bit-equal) — the multi-hot build was the kernel's VPU-bound
+#   critical path, at ~16 vector-register cycles per one-hot compare
+#   per column regardless of m_pad (lanes pad to 128).
 
 ROW_BLOCK = 1024  # cap on row chunks per pallas_call (see _row_block)
 
@@ -621,6 +629,25 @@ REL_DOT_INT8 = False  # int8 one-hot MXU dots (would ride v5e's 2x int8
 
 TAIL_GROUP = 8  # tail-walk width finishing n_act % C_GROUP_REL columns
 REL_TAIL_WALK = True  # main+tail column walk (benchmarks A/B this)
+REL_LANE_SPLIT = False  # G=2 lane-split column pairing: the histogram
+#                        dot's 128-row weight load is its dominant cost
+#                        and is per-column; splitting the 128 lanes into
+#                        two 64-lane halves lets TWO columns share one
+#                        weight load — even columns' lo one-hots live in
+#                        lanes [0, 64) and m-rows [0, S), odd columns in
+#                        lanes [64, 128) and m-rows [S, 2S) (disjoint
+#                        blocks, so the dot's cross terms land in the
+#                        other parity's unused quadrant, which the
+#                        wrapper never reads). Requires 2*S <= 128 with
+#                        S = pad8((1+R)*ceil(n_bins/64)+1); falls back
+#                        to the unsplit walk otherwise. MEASURED NEUTRAL
+#                        on v5e (42k atoms: 198.0 unsplit vs 193.3
+#                        ms/frame; 84k: 426.9 vs 425.8; bit-equal):
+#                        Mosaic already pipelines consecutive weight
+#                        loads, so halving them is offset by the taller
+#                        streamed lhs + its build cost. Kept OFF
+#                        (simpler walk, same speed); both paths stay
+#                        parity-tested.
 REL_FUSE_GROUPS = True  # fold the column-group grid dim into an
 #                         in-kernel loop: one program per row chunk
 #                         (vs n_chunks x n_groups), saving the fixed
@@ -646,7 +673,7 @@ def _rel_kernel(
     out_ref,  # (M_pad, F) f32 persistent
     *,
     relations,  # static tuple of 0-based (a, b)
-    hb,  # ceil(n_bins / F)
+    hb,  # ceil(n_bins / lane_width)
     m_pad,
     bin_size,
     n_bins,
@@ -659,11 +686,15 @@ def _rel_kernel(
     dot_int8=False,
     tail_walk=True,
     inline_groups=None,
+    lane_split=False,  # G=2 column pairing (see REL_LANE_SPLIT)
+    s_blk=0,  # odd-parity m-row block offset (lane_split only)
 ):
     i = pl.program_id(0)
     if inline_groups is None:
         j = pl.program_id(1)
     n_rel = len(relations)
+    lane_w = F // 2 if lane_split else F
+    pairs_per = 2 if lane_split else 1
     trash = jnp.int32((1 + n_rel) * hb)
     # int8 one-hot operands: v5e's MXU runs int8 x int8 -> int32 at 2x
     # the bf16 rate on the weight-load-bound path this kernel sits on;
@@ -704,6 +735,9 @@ def _rel_kernel(
 
         iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LANE, F), 1)
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (LANE, m_pad), 1)
+        if lane_split:
+            half_mask = iota_lo < jnp.int32(lane_w)
+            col_par = jax.lax.rem(iota_lo, jnp.int32(2))  # lane parity
 
         def subtile(_t, w):  # runs once per SET bit of the keep word
             k = _ctz32(w)
@@ -730,42 +764,67 @@ def _rel_kernel(
             if exclude_self:
                 valid &= idxr != idxc[None, :]
 
-            hi = jax.lax.div(b, jnp.int32(F))
-            lo_t = b - hi * jnp.int32(F)
+            hi = jax.lax.div(b, jnp.int32(lane_w))
+            lo_t = b - hi * jnp.int32(lane_w)
             # exclusive relation match -> joint row blocks (types are
-            # small ints stored exactly in f32)
+            # small ints stored exactly in f32).
+            #
+            # Remainder-block encoding (with_full): instead of a
+            # separate "full histogram" one-hot per pair (a block-0
+            # insert for EVERY valid pair), every valid pair lands in
+            # exactly one block — its relation's block, or block 0 (the
+            # REMAINDER: pairs matching no relation) — and the wrapper
+            # assembles full as the sum over all blocks. In TRIANGLE
+            # mode the blocks are additionally UNORDERED relations (the
+            # wrapper deduplicates (a,b)/(b,a) and passes unordered
+            # pairs here): the ordered (a,b) and (b,a) histograms are
+            # equal by pair symmetry, so ONE insert per unordered pair
+            # suffices and the wrapper reads rels[r] = block * (2 if
+            # a==b else 1), full = 2 * sum(blocks). Together these cut
+            # the per-column multi-hot build from 3 compares + 2 adds
+            # to ONE compare. Counts are integers in f32, so the
+            # regrouped accumulation is bit-exact.
             relb = jnp.zeros((LANE, F), jnp.int32)
-            relb_m = jnp.zeros((LANE, F), jnp.int32) if triangle else None
             for r, (a_r, b_r) in enumerate(relations):
                 m_r = ((tyr == jnp.float32(a_r))
                        & (tyc[None, :] == jnp.float32(b_r)))
+                if triangle and a_r != b_r:
+                    m_r |= ((tyr == jnp.float32(b_r))
+                            & (tyc[None, :] == jnp.float32(a_r)))
                 relb = relb + jnp.int32(r + 1) * m_r.astype(jnp.int32)
-                if triangle:
-                    m_m = ((tyr == jnp.float32(b_r))
-                           & (tyc[None, :] == jnp.float32(a_r)))
-                    relb_m = relb_m + jnp.int32(r + 1) * m_m.astype(
-                        jnp.int32)
-            j1_t = jnp.where(valid & (relb > 0),
-                             relb * jnp.int32(hb) + hi, trash)
-            if triangle:
-                j2_t = jnp.where(valid & (relb_m > 0),
-                                 relb_m * jnp.int32(hb) + hi, trash)
-            if with_full:
-                jf_t = jnp.where(valid, hi, trash)
+            j1_t = jnp.where(valid, relb * jnp.int32(hb) + hi, trash)
 
             def make_group_body(width):
                 def group_body(g, carry2):
                     arrs, accs = carry2
                     lo_c = arrs[0]
                     new_accs = []
-                    for q in range(width):
-                        oh = (arrs[1][:, q:q + 1] == iota_m).astype(
-                            oh_dtype)
-                        for extra in arrs[2:]:
-                            oh = oh + (extra[:, q:q + 1]
-                                       == iota_m).astype(oh_dtype)
-                        oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
-                            oh_dtype)
+                    for q in range(width // pairs_per):
+                        if lane_split:
+                            # one dot covers columns (2q, 2q+1): their
+                            # lo targets/j rows are parity-disjoint, so
+                            # the dot's cross terms (column A's j row x
+                            # column B's lanes) land in quadrants the
+                            # wrapper never reads
+                            c0 = pairs_per * q
+                            ga = lo_c[:, c0:c0 + 1]
+                            gb = lo_c[:, c0 + 1:c0 + 2]
+                            oh_lo = (jnp.where(half_mask, ga, gb)
+                                     == iota_lo).astype(oh_dtype)
+                            oh = None
+                            for arr in arrs[1:]:
+                                for c in (c0, c0 + 1):
+                                    t = (arr[:, c:c + 1]
+                                         == iota_m).astype(oh_dtype)
+                                    oh = t if oh is None else oh + t
+                        else:
+                            oh = (arrs[1][:, q:q + 1] == iota_m).astype(
+                                oh_dtype)
+                            for extra in arrs[2:]:
+                                oh = oh + (extra[:, q:q + 1]
+                                           == iota_m).astype(oh_dtype)
+                            oh_lo = (lo_c[:, q:q + 1] == iota_lo).astype(
+                                oh_dtype)
                         new_accs.append(accs[q] + jax.lax.dot_general(
                             oh, oh_lo,
                             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -780,10 +839,6 @@ def _rel_kernel(
             group_body = make_group_body(c_group)
 
             arrs = [lo_t, j1_t]
-            if triangle:
-                arrs.append(j2_t)
-            if with_full:
-                arrs.append(jf_t)
             if compact_cols:
                 # Column compaction: a column (one rhs atom) whose LANE
                 # pairs are all invalid contributes nothing, yet its MXU
@@ -841,9 +896,18 @@ def _rel_kernel(
             else:
                 n_grp = F // c_group
                 n_tail = None
+            if lane_split:
+                # parity offsets applied tile-wide AFTER compaction
+                # (values stay < 256 through the bf16 permute): odd
+                # columns' lo targets move to lanes [lane_w, F), their
+                # j rows to [s_blk, 2*s_blk) — trash rows included
+                # (trash + s_blk is also junk)
+                arrs = [arrs[0] + col_par * jnp.int32(lane_w)] + [
+                    a + col_par * jnp.int32(s_blk) for a in arrs[1:]
+                ]
             accs0 = tuple(
                 jnp.zeros((m_pad, F), acc_dtype)
-                for _ in range(c_group)
+                for _ in range(c_group // pairs_per)
             )
             (arrs_after, accs) = jax.lax.fori_loop(
                 0, n_grp, group_body, (tuple(arrs), accs0)
@@ -854,7 +918,7 @@ def _rel_kernel(
             if n_tail is not None:
                 tail_accs0 = tuple(
                     jnp.zeros((m_pad, F), acc_dtype)
-                    for _ in range(TAIL_GROUP)
+                    for _ in range(TAIL_GROUP // pairs_per)
                 )
                 (_, tail_accs) = jax.lax.fori_loop(
                     0, n_tail, make_group_body(TAIL_GROUP),
@@ -912,9 +976,11 @@ def pair_hist_relations_pallas(
 
     Returns (full (n_bins,) or None, rels (R, n_bins)) float32 — exactly
     ``pairs.project_relations`` of the dense ordered-pair histogram.
-    ``triangle`` requires rows == columns and inserts both orientations
-    per unordered pair; the full row is doubled and r = 0 self pairs are
-    re-added analytically afterwards (needs ``counts_r`` when
+    ``triangle`` requires rows == columns; each unordered pair is
+    inserted ONCE into an unordered-relation (or remainder) block and
+    the ordered outputs are reconstructed by exact integer scaling
+    (see the block-layout comment above); r = 0 self pairs are re-added
+    analytically afterwards (needs ``counts_r`` when
     exclude_self=False).
 
     ``row_tiles``: (n_chunks,) GLOBAL column-tile index of each row
@@ -933,10 +999,37 @@ def pair_hist_relations_pallas(
         raise ValueError("padded sizes must be LANE multiples")
     n_chunks = n_pad_r // LANE
     n_tiles = n_pad_c // F
-    hb = -(-n_bins // F)
     n_rel = len(relations)
-    m = (1 + n_rel) * hb + 1
-    m_pad = -(-m // 8) * 8
+    # triangle mode histograms UNORDERED relations: (a, b) and (b, a)
+    # collapse to one kernel block (their ordered histograms are equal
+    # by pair symmetry); rels are reconstructed from the blocks below
+    if triangle:
+        u_map, kernel_relations, rel_idx = {}, [], []
+        for a_r, b_r in relations:
+            key = (min(a_r, b_r), max(a_r, b_r))
+            if key not in u_map:
+                u_map[key] = len(kernel_relations)
+                kernel_relations.append(key)
+            rel_idx.append(u_map[key])
+    else:
+        kernel_relations, rel_idx = relations, list(range(n_rel))
+    n_blk = len(kernel_relations)
+    # G=2 lane-split pairing (REL_LANE_SPLIT): radix width drops to 64
+    # so two columns share each dot's 128-row weight load; feasible iff
+    # both parity blocks fit the 128-row lhs
+    lane_split = bool(REL_LANE_SPLIT)
+    s_blk = 0
+    if lane_split:
+        hb_s = -(-n_bins // (F // 2))
+        s_blk = -(-((1 + n_blk) * hb_s + 1) // 8) * 8
+        lane_split = 2 * s_blk <= F
+    if lane_split:
+        hb = hb_s
+        m_pad = 2 * s_blk
+    else:
+        s_blk = 0
+        hb = -(-n_bins // F)
+        m_pad = -(-((1 + n_blk) * hb + 1) // 8) * 8
     sharded_rows = row_tiles is not None
     if triangle:
         if not sharded_rows and n_pad_r != n_pad_c:
@@ -1002,16 +1095,17 @@ def pair_hist_relations_pallas(
 
     # compaction permutes the j/lo values through a bf16 matmul; bf16 is
     # integer-exact below 257, so auto-disable for huge relation sets
-    compact_cols = bool(compact_cols) and (1 + n_rel) * hb < 256
+    compact_cols = bool(compact_cols) and (1 + n_blk) * hb < 256
     # independent-accumulator group size: C_GROUP_REL was swept at
     # m_pad = 24 (786 KiB of accumulators); scale it down as m_pad grows
     # with the relation count / bin count so scoped VMEM stays bounded
     c_group = C_GROUP_REL
-    while c_group > 8 and c_group * m_pad > 64 * 24:
+    pairs_per = 2 if lane_split else 1
+    while c_group > 8 and (c_group // pairs_per) * m_pad > 64 * 24:
         c_group //= 2
     kernel = functools.partial(
         _rel_kernel,
-        relations=tuple(relations),
+        relations=tuple(kernel_relations),
         hb=int(hb),
         m_pad=int(m_pad),
         bin_size=float(bin_size),
@@ -1024,6 +1118,8 @@ def pair_hist_relations_pallas(
         c_group=int(c_group),
         dot_int8=bool(REL_DOT_INT8 if dot_int8 is None else dot_int8),
         tail_walk=bool(REL_TAIL_WALK),
+        lane_split=bool(lane_split),
+        s_blk=int(s_blk),
     )
     def _call(mask_b, rt_b, co_b, rowpack_b, colpack_b):
         ng = colpack_b.shape[0]
@@ -1080,14 +1176,40 @@ def pair_hist_relations_pallas(
             out = r if out is None else out + r
 
     def block(blk):
+        if lane_split:
+            w = F // 2
+            a = out[blk * hb:(blk + 1) * hb, :w]
+            b2 = out[s_blk + blk * hb:s_blk + (blk + 1) * hb, w:]
+            return (a + b2).reshape(hb * w)[:n_bins]
         return out[blk * hb:(blk + 1) * hb].reshape(hb * F)[:n_bins]
 
-    full = block(0) if with_full else None
-    rels = jnp.stack([block(1 + r) for r in range(n_rel)]) \
-        if n_rel else jnp.zeros((0, n_bins), jnp.float32)
+    # remainder-block assembly: block 0 holds only the pairs matching NO
+    # relation, so the full histogram is the sum over all blocks. In
+    # triangle mode the blocks are UNORDERED (one insert per unordered
+    # pair): rels[r] = block * (2 if a==b else 1) — a != b relations
+    # read the shared unordered block directly (each unordered pair
+    # contributes exactly one (a, b)-ordered pair), a == b relations
+    # double it — and full doubles the block sum. Integer counts in
+    # f32, so the scaling is exact.
     if triangle:
-        if full is not None:
+        ublocks = [block(1 + u) for u in range(n_blk)]
+        rels = jnp.stack([
+            ublocks[rel_idx[r]]
+            * (2.0 if relations[r][0] == relations[r][1] else 1.0)
+            for r in range(n_rel)
+        ]) if n_rel else jnp.zeros((0, n_bins), jnp.float32)
+        if with_full:
+            full = block(0)
+            for ub in ublocks:
+                full = full + ub
             full = full * 2.0
+        else:
+            full = None
+    else:
+        rels = jnp.stack([block(1 + r) for r in range(n_rel)]) \
+            if n_rel else jnp.zeros((0, n_bins), jnp.float32)
+        full = block(0) + rels.sum(axis=0) if with_full else None
+    if triangle:
         if not exclude_self:
             # r = 0 ordered self pairs, dropped by the strictly-upper mask
             if counts_r is None:

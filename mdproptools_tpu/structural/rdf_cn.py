@@ -448,19 +448,20 @@ def _rdf_policy(n_atoms, v_min, r_cut, spatial_sort, use_pallas,
     ~1.15x in the median with a ~1.8x tail, and one fat tile keeps every
     tile pair touching it).
 
-    The relation-projected mixed-tile kernel costs ~1.5x per pair for
-    the fused multi-hot insert, but its compact ORB tiles feed three
-    exact work-skippers the type-block kernel can't match (minority-
-    species type blocks are box-sized): the tile cull skips (1 - kept)
-    of tile pairs, culled subtiles are free (popcount-trip walk), and
-    in-kernel column compaction skips the all-invalid columns inside
-    kept tiles. Measured on v5e at 400 bins + 4 partials, rel vs
-    type-block ms/frame: 10.5k atoms 90 vs 72 (kept_est 2.25); 21k
-    167 vs 186 (kept_est 1.12); 42k 275 vs 296 (0.56); 84k 582 vs
-    683 (0.33) — type-block numbers with its own column compaction
-    (engaged when sorted; it was 560/1679 without), rel with the
-    main+tail column walk. Crossover between 10.5k and 21k ->
-    kept_est 1.2, unchanged: rel stays ahead wherever sorting pays.
+    The relation-projected mixed-tile kernel's compact ORB tiles feed
+    three exact work-skippers the type-block kernel can't match
+    (minority-species type blocks are box-sized): the tile cull skips
+    (1 - kept) of tile pairs, culled subtiles are free (popcount-trip
+    walk), and in-kernel column compaction skips the all-invalid
+    columns inside kept tiles. Since the remainder-block + unordered-
+    relation encoding (one one-hot insert per unordered pair) its
+    per-pair cost also matches the type-block insert. Measured on v5e
+    at 400 bins + 4 partials, rel vs type-block ms/frame: 10.5k atoms
+    45.3 vs 46.1 (kept_est 2.25); 21k 100.4 vs 163.9 (1.12); 42k
+    200.6 vs 291.7 (0.56); 84k 418.9 vs 684.2 (0.33) — rel wins at
+    every measured size, so the engage threshold only fences the
+    UNMEASURED small-dense regime (tiny boxes where the cull keeps
+    everything and tile padding dominates).
 
     Evaluated PER FRAME BLOCK (NPT boxes drift): `_rdf_mean` regroups
     blocks by the (use_rel, sort_on) decision so the dispatch follows
@@ -478,7 +479,7 @@ def _rdf_policy(n_atoms, v_min, r_cut, spatial_sort, use_pallas,
     else:
         sort_on = rel_sort_ok = bool(spatial_sort)
     use_rel = (use_pallas and distinct_rels and rel_sort_ok
-               and kept_est < 1.2)
+               and kept_est < 2.5)
     if _FORCE_KERNEL == "rel":  # test hook: drive the rel branch on CPU
         use_rel = use_pallas and distinct_rels
     elif _FORCE_KERNEL == "type-block":

@@ -127,15 +127,21 @@ def test_pallas_spatial_sort_matches_scatter(compact_cols):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("lane_split", [True, False])
 @pytest.mark.parametrize("exclude_self,triangle,with_full", [
     (True, False, True), (True, True, True), (True, True, False),
     (False, False, True), (False, True, True), (False, True, False),
 ])
-def test_relation_kernel_matches_scatter(exclude_self, triangle, with_full):
+def test_relation_kernel_matches_scatter(exclude_self, triangle, with_full,
+                                         lane_split, monkeypatch):
     """Relation-projected mixed-tile kernel (global Morton order, fused
     multi-hot dot) must equal project_relations of the dense scatter
-    histogram, in every mode combination."""
+    histogram, in every mode combination, with and without the G=2
+    lane-split column pairing."""
+    from mdproptools_tpu.ops import pairs_pallas
     from mdproptools_tpu.ops.pairs_pallas import pair_hist_relations_pallas
+
+    monkeypatch.setattr(pairs_pallas, "REL_LANE_SPLIT", lane_split)
 
     rng = np.random.default_rng(7)
     n, box = 700, 14.0

@@ -95,16 +95,17 @@ def test_program_cache_reuses_block_runner(system):
 def test_rdf_policy_follows_box_volume():
     """The dispatch policy must re-select the kernel as the box density
     changes: a box large relative to r_cut keeps the rel kernel's tile
-    cull effective (kept_est < 1.2), a shrunken box does not."""
+    cull effective (kept_est < 2.5), a severely compressed box does
+    not (the unmeasured small-dense regime falls back to type-block)."""
     n = 50_000
     # large box: low kept_est -> rel kernel
     use_rel, _, kept_big = rdf_cn._rdf_policy(
         n, 90.0**3, 8.0, "auto", use_pallas=True, distinct_rels=True)
-    assert use_rel and kept_big < 1.2
+    assert use_rel and kept_big < 2.5
     # same system compressed: cull useless -> type-block kernel
     use_rel2, _, kept_small = rdf_cn._rdf_policy(
-        n, 17.0**3, 8.0, "auto", use_pallas=True, distinct_rels=True)
-    assert not use_rel2 and kept_small > 1.2
+        n, 13.0**3, 8.0, "auto", use_pallas=True, distinct_rels=True)
+    assert not use_rel2 and kept_small > 2.5
     # no pallas (strict/CPU) never engages either fast path
     assert rdf_cn._rdf_policy(n, 90.0**3, 8.0, "auto", False, True)[0] \
         is False

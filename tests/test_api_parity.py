@@ -11,6 +11,7 @@ import ast
 import importlib
 import inspect
 import os
+import warnings
 
 import pytest
 
@@ -32,7 +33,11 @@ MODULES = [
 
 
 def _ref_surface(path):
-    tree = ast.parse(open(os.path.join(REF, path)).read())
+    # The reference source has invalid escape sequences in docstrings
+    # (e.g. '\A' for Angstrom); ast.parse re-emits their SyntaxWarnings.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SyntaxWarning)
+        tree = ast.parse(open(os.path.join(REF, path)).read())
     out = {}
     for node in tree.body:
         if isinstance(node, ast.FunctionDef) and not node.name.startswith("_"):

@@ -36,8 +36,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-DATA = "/root/reference/data/mg_tfsi_dme/dump.nvt.*.dump"
-DATA_DIR = "/root/reference/data/mg_tfsi_dme"
+# Prefer the full 101-frame reference trajectory when mounted (the
+# round-over-round tracked workload); fall back to the bundled 7-frame
+# subset so the benchmark runs on a bare clone of this repo alone.
+_REF_DIR = os.environ.get("MDPT_DATA_DIR",
+                          "/root/reference/data/mg_tfsi_dme")
+DATA_DIR = (_REF_DIR if os.path.isdir(_REF_DIR)
+            else os.path.join(HERE, "data", "mg_tfsi_dme"))
+DATA = os.path.join(DATA_DIR, "dump.nvt.*.dump")
 MASS = [16.0, 12.01, 1.008, 14.01, 32.06, 16.0, 12.01, 19.0, 24.305]
 NUM_MOLS = [591, 66, 33]
 NUM_ATOMS_PER_MOL = [16, 15, 1]

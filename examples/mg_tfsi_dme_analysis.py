@@ -15,7 +15,11 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DATA = os.environ.get("MDPT_DATA", "/root/reference/data/mg_tfsi_dme")
+_REF = "/root/reference/data/mg_tfsi_dme"  # full 101-frame set if mounted
+_BUNDLED = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "mg_tfsi_dme")
+DATA = os.environ.get("MDPT_DATA",
+                      _REF if os.path.isdir(_REF) else _BUNDLED)
 OUT = os.environ.get("MDPT_OUT", tempfile.mkdtemp(prefix="mdpt_example_"))
 
 MASS = [16.0, 12.01, 1.008, 14.01, 32.06, 16.0, 12.01, 19.0, 24.305]

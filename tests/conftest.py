@@ -22,7 +22,17 @@ jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
-REFERENCE_DATA = "/root/reference/data/mg_tfsi_dme"
+# The suite is self-contained: fixtures serve the bundled 7-frame subset
+# of the reference's Mg(TFSI)2/DME workload from <repo>/data/mg_tfsi_dme
+# (timesteps 0..250000 plus 2500000, the cluster-golden frame). The full
+# 101-frame reference checkout, when mounted at /root/reference (or
+# pointed to by MDPT_DATA_DIR), is only needed by the few tests that
+# explicitly opt into it via `reference_data_dir` — those skip cleanly
+# on a bare clone.
+BUNDLED_DATA = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "data", "mg_tfsi_dme"))
+REFERENCE_DATA = os.environ.get(
+    "MDPT_DATA_DIR", "/root/reference/data/mg_tfsi_dme")
 REFERENCE_TESTS = "/root/reference/tests"
 
 
@@ -41,9 +51,18 @@ except ImportError:
 
 @pytest.fixture(scope="session")
 def mg_tfsi_dme_dir():
-    return REFERENCE_DATA
+    return BUNDLED_DATA
 
 
 @pytest.fixture(scope="session")
 def dump_pattern():
-    return os.path.join(REFERENCE_DATA, "dump.nvt.*.dump")
+    return os.path.join(BUNDLED_DATA, "dump.nvt.*.dump")
+
+
+@pytest.fixture(scope="session")
+def reference_data_dir():
+    """Full 101-frame reference dataset — optional; skips when absent."""
+    if not os.path.isdir(REFERENCE_DATA):
+        pytest.skip("full reference dataset not mounted "
+                    "(set MDPT_DATA_DIR or mount /root/reference)")
+    return REFERENCE_DATA

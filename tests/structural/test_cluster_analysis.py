@@ -1,12 +1,18 @@
 """Cluster extraction byte-parity against the reference's materialized
-golden XYZ files — the strongest parity evidence in this checkout.
-Mirrors the reference's own test parameters exactly
-(tests/structural/test_cluster_analysis.py: r_cut=2.3, frame=50,
-atom_type 9 / altered 32, type_coord_atoms=[O,N,Mg], cum_perc=100)."""
+golden XYZ files (vendored under ``tests/structural/test_files``) — the
+strongest parity evidence available. Mirrors the reference's own test
+parameters exactly (tests/structural/test_cluster_analysis.py:
+r_cut=2.3, frame 50 of the 101-frame trajectory = timestep 2,500,000,
+atom_type 9 / altered 32, type_coord_atoms=[O,N,Mg], cum_perc=100).
+The frame index is resolved from the glob at runtime so the test runs
+identically on the bundled 7-frame subset and the full reference set —
+the golden frame's DATA is the same either way, and the output
+filenames enumerate processed frames (a single frame is always 0)."""
 
 import filecmp
 import glob
 import os
+import re
 
 import pytest
 
@@ -16,9 +22,17 @@ from mdproptools_tpu.structural.cluster_analysis import (
     get_unique_configurations,
 )
 
-GOLDEN_DIR = "/root/reference/tests/structural/test_files"
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "test_files")
 ELEMENTS = ["O", "C", "H", "N", "S", "O", "C", "F", "Mg"]
 R_CUT = 2.3
+GOLDEN_TIMESTEP = 2500000  # frame 50 of the reference's 101-frame run
+
+
+def _golden_frame(dump_pattern):
+    """Index of the golden timestep in the timestep-sorted glob."""
+    ts = sorted(int(re.search(r"(\d+)", os.path.basename(f)).group(1))
+                for f in glob.glob(dump_pattern))
+    return ts.index(GOLDEN_TIMESTEP)
 
 
 def _compare_xyz(workdir, pattern):
@@ -42,7 +56,7 @@ def test_get_clusters_byte_identical(dump_pattern, tmp_path, benchmark):
         num_mols=[591, 66, 33],
         num_atoms_per_mol=[16, 15, 1],
         full_trajectory=False,
-        frame=50,
+        frame=_golden_frame(dump_pattern),
         elements=ELEMENTS,
         alter_atom_types=False,
         max_force=0.75,
@@ -62,7 +76,7 @@ def test_unique_configurations_matches_reference_test(dump_pattern,
         num_mols=[591, 66, 33],
         num_atoms_per_mol=[16, 15, 1],
         full_trajectory=False,
-        frame=50,
+        frame=_golden_frame(dump_pattern),
         elements=ELEMENTS,
         alter_atom_types=True,
         max_force=0.75,
@@ -103,7 +117,8 @@ def test_zip_archival(dump_pattern, mg_tfsi_dme_dir, tmp_path):
     get_clusters(
         filename=dump_pattern, atom_type=9, r_cut=R_CUT,
         num_mols=[591, 66, 33], num_atoms_per_mol=[16, 15, 1],
-        frame=50, elements=ELEMENTS, working_dir=str(tmp_path),
+        frame=_golden_frame(dump_pattern), elements=ELEMENTS,
+        working_dir=str(tmp_path),
     )
     dme = Molecule.from_file(os.path.join(mg_tfsi_dme_dir, "dme.pdb"))
     tfsi = Molecule.from_file(os.path.join(mg_tfsi_dme_dir, "tfsi.pdb"))

@@ -228,7 +228,8 @@ def test_intermolecular_rdf(frame0, tmp_path):
     assert out_self["g_3-3"].iloc[0] > 0  # self count lands in bin 0
 
 
-def test_streaming_blocks_identical_results(tmp_path, monkeypatch):
+def test_streaming_blocks_identical_results(dump_pattern, tmp_path,
+                                            monkeypatch):
     """Multi-block streamed ingestion must reproduce single-block results
     exactly (the running sum is order-identical)."""
     import glob as globmod
@@ -237,8 +238,7 @@ def test_streaming_blocks_identical_results(tmp_path, monkeypatch):
 
     from mdproptools_tpu.structural import rdf_cn as mod
 
-    files = sorted(globmod.glob(
-        "/root/reference/data/mg_tfsi_dme/dump.nvt.*.dump"))[:6]
+    files = sorted(globmod.glob(dump_pattern))[:6]
     for i, f in enumerate(files):
         os.symlink(f, tmp_path / f"dump.{i}.dump")
     pattern = str(tmp_path / "dump.*.dump")

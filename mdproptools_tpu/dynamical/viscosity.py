@@ -109,7 +109,16 @@ class Viscosity:
 
     def calc_avg_visc(self, output_all_data=False):
         """Per-replicate running-integral viscosity
-        (``viscosity.py:193-237``)."""
+        (``viscosity.py:193-237``).
+
+        Replicate-grid quirk (preserved from the reference,
+        ``viscosity.py:215-225``): the truncation index ``cutoff_idx`` is
+        located ONCE, in the FIRST replicate's ``Step`` column, and then
+        applied positionally (``iloc``) to every other replicate. A
+        replicate logged at a different thermo cadence would be silently
+        mis-truncated, so — unlike the reference — we raise a
+        ``ValueError`` when any replicate's Step grid disagrees with the
+        first's over the kept window."""
         log_files = glob.glob(f"{self.working_dir}/{self.log_pattern}")
         if not log_files:
             raise FileNotFoundError(
@@ -126,6 +135,19 @@ class Viscosity:
                 "column of the first replicate"
             )
         cutoff_idx = first.index.get_loc(matches[0])
+
+        ref_steps = first["Step"].to_numpy()[cutoff_idx:]
+        for i, log_df in enumerate(list_log_df[1:], start=1):
+            steps = log_df["Step"].to_numpy()[cutoff_idx:]
+            n = min(len(steps), len(ref_steps))
+            if n == 0 or not np.array_equal(steps[:n], ref_steps[:n]):
+                raise ValueError(
+                    f"replicate {log_files[i]!r} has a Step grid that "
+                    "disagrees with the first replicate's after the "
+                    f"cutoff row {cutoff_idx}; the positional truncation "
+                    "shared across replicates (reference "
+                    "viscosity.py:215-225) would silently mis-truncate it"
+                )
 
         visc_avg, visc_data, acf_data = [], [], []
         for log_df in list_log_df:

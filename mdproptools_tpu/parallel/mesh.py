@@ -31,10 +31,10 @@ from mdproptools_tpu.ops import pairs as pair_ops
 
 import inspect
 
-try:  # jax >= 0.4.35
-    from jax.experimental.shard_map import shard_map as _shard_map
-except ImportError:  # pragma: no cover
+try:  # jax >= 0.6: the public, non-deprecated home
     from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 # replication-check kwarg renamed check_rep -> check_vma across JAX
 # versions; a pallas_call inside shard_map cannot declare its varying

@@ -37,7 +37,8 @@ def _ref_surface(path):
     # (e.g. '\A' for Angstrom); ast.parse re-emits their SyntaxWarnings.
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", SyntaxWarning)
-        tree = ast.parse(open(os.path.join(REF, path)).read())
+        with open(os.path.join(REF, path)) as f:
+            tree = ast.parse(f.read())
     out = {}
     for node in tree.body:
         if isinstance(node, ast.FunctionDef) and not node.name.startswith("_"):

@@ -653,6 +653,15 @@ REL_FUSE_GROUPS = True  # fold the column-group grid dim into an
 #                         (vs n_chunks x n_groups), saving the fixed
 #                         per-program dispatch overhead
 
+REL_ABLATE_WALK = False  # PROFILING ONLY: skip the column-walk dot
+#                          loops inside each kept subtile but keep every
+#                          preceding stage alive (pair geometry, valid/
+#                          relation masks, column compaction). The delta
+#                          vs the full kernel isolates the MXU walk's
+#                          wall share from the per-subtile VPU/fixed
+#                          work — outputs are garbage, never use outside
+#                          benchmarks/profile_42k.py.
+
 KC_REL = 32  # column tiles per grid program (relation kernel)
 C_GROUP_REL = 64  # independent column dots per roll step (swept 16/32/64
 #                   on v5e with the ORB layout at 42k/84k atoms:
@@ -688,6 +697,7 @@ def _rel_kernel(
     inline_groups=None,
     lane_split=False,  # G=2 column pairing (see REL_LANE_SPLIT)
     s_blk=0,  # odd-parity m-row block offset (lane_split only)
+    ablate_walk=False,  # see REL_ABLATE_WALK (profiling only)
 ):
     i = pl.program_id(0)
     if inline_groups is None:
@@ -896,6 +906,13 @@ def _rel_kernel(
             else:
                 n_grp = F // c_group
                 n_tail = None
+            if ablate_walk:
+                # profiling: consume the pre-walk arrays (so nothing
+                # above is dead-code-eliminated) without running the
+                # column dot loops; m_pad <= LANE always holds
+                out_ref[...] = (out_ref[...]
+                                + arrs[1][:m_pad, :].astype(jnp.float32))
+                return w & (w - 1)
             if lane_split:
                 # parity offsets applied tile-wide AFTER compaction
                 # (values stay < 256 through the bf16 permute): odd
@@ -1120,6 +1137,7 @@ def pair_hist_relations_pallas(
         tail_walk=bool(REL_TAIL_WALK),
         lane_split=bool(lane_split),
         s_blk=int(s_blk),
+        ablate_walk=bool(REL_ABLATE_WALK),
     )
     def _call(mask_b, rt_b, co_b, rowpack_b, colpack_b):
         ng = colpack_b.shape[0]

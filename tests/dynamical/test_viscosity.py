@@ -114,6 +114,24 @@ def test_bootstrapping(tmp_path):
     assert std >= 0
 
 
+def test_replicate_step_grid_mismatch_raises(tmp_path):
+    """A replicate logged at a different thermo cadence must raise
+    instead of being silently mis-truncated by the FIRST replicate's
+    positional cutoff (preserved reference quirk, viscosity.py:215-225;
+    our added guard)."""
+    pattern = make_logs(tmp_path, n_replicates=2, n=200)
+    # rewrite replicate 2 on a 2x-coarser Step grid
+    df = {"Step": np.arange(200) * 20, "Temp": np.full(200, 298.0)}
+    rng = np.random.default_rng(3)
+    for lab in ("Pxy", "Pxz", "Pyz"):
+        df[lab] = rng.normal(0, 10.0, 200)
+    write_lammps_log(str(tmp_path / "log.visc_2"), [pd.DataFrame(df)])
+    v = Viscosity(pattern, cutoff_time=500, volume=30.0**3,
+                  working_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="Step grid"):
+        v.calc_avg_visc()
+
+
 def test_brute_vs_wkt_methods_agree():
     rng = np.random.default_rng(9)
     x = rng.normal(size=257)

@@ -519,6 +519,47 @@ def device_sort_orb(pos, n_atoms: int, n_padded: int, lengths=None):
     return jnp.where(idx < n_atoms, idx, -1)
 
 
+def host_sort_orb(pos, n_atoms: int, n_padded: int) -> np.ndarray:
+    """Host (NumPy) balanced-ORB permutation with the same tile-quality
+    contract as ``device_sort_orb``: recursive LANE-aligned median
+    bisection along each segment's longest axis, pads sinking to the
+    rightmost leaf.
+
+    Why a host twin exists: exactness never depends on the permutation
+    (the kernels' validity masks and pair geometry use the permuted
+    CURRENT positions — any layout sums the same exact integer counts),
+    but the device version costs ~log2(n_tiles) sequential ``lax.sort``
+    rounds per frame, measured at ~29 ms of the 42k-atom RDF step on
+    v5e (benchmarks/profile_42k.json). The streamed single-chip path
+    computes the permutation here instead — O(n) ``argpartition`` per
+    level, a few ms on host — overlapped with device compute by the
+    double-buffered block dispatch. Returns (n_padded,) int32, pad
+    slots -1.
+    """
+    pos3 = np.ascontiguousarray(np.asarray(pos)[:, :3], np.float32)
+    out = np.full(n_padded, -1, np.int32)
+    stack = [(np.arange(n_atoms, dtype=np.int32), 0, n_padded)]
+    while stack:
+        ids, start, slots = stack.pop()
+        n = ids.size
+        if slots <= LANE or n == 0:
+            out[start:start + n] = ids
+            continue
+        p = pos3[ids]
+        ax = int(np.argmax(p.max(axis=0) - p.min(axis=0)))
+        # LANE-aligned split at the real-atom median (same rounding as
+        # device_sort_orb); left child takes the k smallest along ax
+        half = int(n / (2 * LANE) + 0.5) * LANE
+        split = min(max(half, LANE), max(slots - LANE, LANE))
+        k = min(split, n)
+        if 0 < k < n:
+            sel = np.argpartition(p[:, ax], k - 1)
+            ids = ids[sel]
+        stack.append((ids[:k], start, split))
+        stack.append((ids[k:], start + split, slots - split))
+    return out
+
+
 def orb_sorted_side(pos, n_atoms: int, n_padded: int, lengths, codes0):
     """ORB-sort one side for the mixed-tile relation kernels: returns
     (positions (n_padded, 3) gathered in ORB order, perm (pads -1),

@@ -283,7 +283,8 @@ def _auto_frames_mesh():
     return _frames_only(_auto_mesh())
 
 
-def _make_block_runner(step_fn, out_shape, dtype, mesh=None):
+def _make_block_runner(step_fn, out_shape, dtype, mesh=None,
+                       with_perm=False):
     """One jitted frame-block program: scans
     ``step_fn(pos, pos_cols, L)`` over the block (weighted per frame, so
     sharding pads carry zero weight) and returns the block's summed
@@ -293,20 +294,32 @@ def _make_block_runner(step_fn, out_shape, dtype, mesh=None):
     ``mesh``: optional 1-axis ("frames",) device mesh — each device
     scans its frame shard and the partial sums psum over ICI, making
     every entry point frame-data-parallel across chips with no kernel
-    changes (the reference's process-pool axis, SURVEY section 2.3)."""
+    changes (the reference's process-pool axis, SURVEY section 2.3).
+
+    ``with_perm``: the runner takes a fifth (B, n_pad) int32 operand of
+    host-computed spatial permutations, scanned alongside the frames and
+    passed to ``step_fn(p, pc, L, pm)`` (the rel-kernel path's
+    host-ORB-sort fast path — see ``pair_ops.host_sort_orb``)."""
     acc_dtype = jnp.float32 if dtype == jnp.float32 else dtype
 
-    def scan_frames(pos_b, pos_cols_b, lengths_b, w_b):
+    def scan_frames(pos_b, pos_cols_b, lengths_b, w_b, perm_b=None):
         _trace_log.append(out_shape)
 
         def step(acc, xs):
-            p, pc, L, w = xs
-            return acc + w * step_fn(p, pc, L).astype(acc.dtype), None
+            if with_perm:
+                p, pc, L, w, pm = xs
+                rows = step_fn(p, pc, L, pm)
+            else:
+                p, pc, L, w = xs
+                rows = step_fn(p, pc, L)
+            return acc + w * rows.astype(acc.dtype), None
 
         acc0 = jnp.zeros(out_shape, acc_dtype)
         acc0 = acc0 + (pos_b[0, 0, 0] * 0).astype(acc_dtype)
-        acc, _ = jax.lax.scan(step, acc0,
-                              (pos_b, pos_cols_b, lengths_b, w_b))
+        xs = (pos_b, pos_cols_b, lengths_b, w_b)
+        if with_perm:
+            xs = xs + (perm_b,)
+        acc, _ = jax.lax.scan(step, acc0, xs)
         return acc
 
     if mesh is None:
@@ -318,19 +331,21 @@ def _make_block_runner(step_fn, out_shape, dtype, mesh=None):
 
     from mdproptools_tpu.parallel.mesh import shard_map
 
+    n_in = 5 if with_perm else 4
+
     @jax.jit
     @_partial(shard_map, mesh=mesh,
-              in_specs=(P("frames"), P("frames"), P("frames"),
-                        P("frames")),
+              in_specs=(P("frames"),) * n_in,
               out_specs=P(), check_vma=False)
-    def run_block(pos_b, pos_cols_b, lengths_b, w_b):
-        return jax.lax.psum(scan_frames(pos_b, pos_cols_b, lengths_b, w_b),
-                            "frames")
+    def run_block(pos_b, pos_cols_b, lengths_b, w_b, perm_b=None):
+        return jax.lax.psum(
+            scan_frames(pos_b, pos_cols_b, lengths_b, w_b, perm_b),
+            "frames")
 
     return run_block
 
 
-def _pad_block(pos_b, pc_b, len_b, n_pad_to):
+def _pad_block(pos_b, pc_b, len_b, n_pad_to, perm_b=None):
     """Pad a frame block to a multiple of the frames-mesh size with
     zero-weight copies of the first frame (equal shards requirement)."""
     nb = pos_b.shape[0]
@@ -344,8 +359,11 @@ def _pad_block(pos_b, pc_b, len_b, n_pad_to):
                 [pc_b, np.repeat(pc_b[:1], extra, axis=0)])
         len_b = np.concatenate(
             [len_b, np.repeat(len_b[:1], extra, axis=0)])
+        if perm_b is not None:
+            perm_b = np.concatenate(
+                [perm_b, np.repeat(perm_b[:1], extra, axis=0)])
         w = np.concatenate([w, np.zeros(extra)])
-    return pos_b, pc_b, len_b, w
+    return pos_b, pc_b, len_b, w, perm_b
 
 
 def _accumulate_stream_device(run_block, blocks, dtype, n_pad_to=1):
@@ -364,8 +382,8 @@ def _accumulate_stream_device(run_block, blocks, dtype, n_pad_to=1):
     for pos_b, pc_b, len_b in blocks:
         with stage("frame_block", start=T, frames=pos_b.shape[0]):
             nb = pos_b.shape[0]
-            pos_b, pc_b, len_b, w = _pad_block(pos_b, pc_b, len_b,
-                                               n_pad_to)
+            pos_b, pc_b, len_b, w, _ = _pad_block(pos_b, pc_b, len_b,
+                                                  n_pad_to)
             pb = jnp.asarray(pos_b, dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
             cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),
@@ -398,8 +416,8 @@ def _run_stream(run_block, out_shape, blocks, dtype, n_pad_to=1):
     for pos_b, pc_b, len_b in blocks:
         with stage("frame_block", start=T, frames=pos_b.shape[0]):
             nb = pos_b.shape[0]
-            pos_b, pc_b, len_b, w = _pad_block(pos_b, pc_b, len_b,
-                                               n_pad_to)
+            pos_b, pc_b, len_b, w, _ = _pad_block(pos_b, pc_b, len_b,
+                                                  n_pad_to)
             pb = jnp.asarray(pos_b, dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
             cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),
@@ -519,12 +537,21 @@ def _make_rdf_step(
     relation_matrix, code_counts_rows, code_counts_cols, exclude_self,
     with_full, dtype, n_atoms_cols=None, codes_cols=None,
     n_codes_cols=None, spatial_sort="auto", policy=None,
+    external_perm=False,
 ):
     """Build the per-frame RDF step function once (layouts, kernel and
     sort policy, normalization constants) so the sweep layer can reuse
     ONE compiled block program across many same-system trajectories.
     Returns (step, nrows) where step(pos, pos_cols, lengths) -> the
     normalized per-frame rows and nrows = R + (1 if with_full).
+
+    ``external_perm`` (rel-kernel self case only): the step takes a
+    fourth (n_pad,) int32 argument — a host-computed spatial
+    permutation (``pair_ops.host_sort_orb``) — instead of running the
+    device ORB sort per frame. Exact either way; the device sort's
+    ~log2(n_tiles) sequential ``lax.sort`` rounds cost ~29 ms of the
+    42k-atom frame on v5e (benchmarks/profile_42k.json) while the host
+    twin overlaps with device compute in the streamed pipeline.
 
     Per-frame normalization uses the reference's exact operation order:
     rho_b = count_b / V first, then counts / (N_a * rho_b * Vshell)
@@ -572,11 +599,24 @@ def _make_rdf_step(
         codes0_c = jnp.asarray(np.asarray(codes_cols) - 1, jnp.float32)
     relations0 = np.asarray(relation_matrix, np.int64) - 1
 
-    def step(p, pc, L):
+    if external_perm and not (use_rel and self_case):
+        raise ValueError(
+            "external_perm is only meaningful for the rel-kernel self "
+            "case (one sorted side)")
+
+    def step(p, pc, L, pm_ext=None):
         sdtype = p.dtype
         if use_rel:
-            pr, pm, ty = pair_ops.orb_sorted_side(
-                p.astype(jnp.float32), p.shape[0], n_pad_r, L, codes0_r)
+            if pm_ext is not None:
+                pm = pm_ext
+                pr = pair_ops.gather_padded_perm(
+                    p.astype(jnp.float32), pm)
+                ty = jnp.where(pm >= 0,
+                               codes0_r[jnp.maximum(pm, 0)], -1.0)
+            else:
+                pr, pm, ty = pair_ops.orb_sorted_side(
+                    p.astype(jnp.float32), p.shape[0], n_pad_r, L,
+                    codes0_r)
             if self_case:
                 pc3, pmc, tyc = pr, pm, ty
             else:
@@ -680,10 +720,17 @@ def _make_rdf_mean_stream(
     )
 
     def runner_for(pol):
-        """(run_block, n_pad_to) for a policy, memoized via _STEP_CACHE."""
+        """(run_block, n_pad_to, perm_fn) for a policy, memoized via
+        _STEP_CACHE. ``perm_fn`` (host-ORB fast path) maps a host
+        (B, N, 3) position block to (B, n_pad) int32 permutations the
+        runner scans alongside the frames; None when the policy's step
+        sorts on device (sharded runner, non-rel kernels)."""
         use_rel = pol[0]
+        sharded_rel = (mesh_2d and use_rel and self_case and exclude_self
+                       and use_pallas)
+        host_perm = use_rel and self_case and not sharded_rel
         step, nrows, runners = _step_cache_get(
-            base_key + pol,
+            base_key + pol + (host_perm,),
             lambda: _make_rdf_step(
                 codes, n_codes, pos.shape[1], lengths, bin_size, n_bins,
                 r_cut, relation_matrix, code_counts_rows, code_counts_cols,
@@ -691,10 +738,9 @@ def _make_rdf_mean_stream(
                 n_atoms_cols=None if pos_cols is None else pos_cols.shape[1],
                 codes_cols=codes_cols, n_codes_cols=n_codes_cols,
                 spatial_sort=spatial_sort, policy=pol,
+                external_perm=host_perm,
             ),
         )
-        sharded_rel = (mesh_2d and use_rel and self_case and exclude_self
-                       and use_pallas)
         if sharded_rel:
             rkey = ("rel-sharded", out_shape, jnp.dtype(dtype).name,
                     _mesh_key(mesh))
@@ -717,15 +763,27 @@ def _make_rdf_mean_stream(
                     return inner(pb, len_b, w_b)
 
                 runners[rkey] = run
-            return run, mesh.devices.shape[0]
+            return run, mesh.devices.shape[0], None
         fmesh = _frames_only(mesh)
         rkey = ("frames", out_shape, jnp.dtype(dtype).name,
                 _mesh_key(fmesh))
         run = runners.get(rkey)
         if run is None:
-            run = _make_block_runner(step, out_shape, dtype, mesh=fmesh)
+            run = _make_block_runner(step, out_shape, dtype, mesh=fmesh,
+                                     with_perm=host_perm)
             runners[rkey] = run
-        return run, 1 if fmesh is None else fmesh.size
+        perm_fn = None
+        if host_perm:
+            n_at = int(pos.shape[1])
+            n_pad_r = -(-n_at // pair_ops.LANE) * pair_ops.LANE
+
+            def perm_fn(pos_b):
+                pos_b = np.asarray(pos_b)
+                return np.stack([
+                    pair_ops.host_sort_orb(pos_b[t], n_at, n_pad_r)
+                    for t in range(pos_b.shape[0])])
+
+        return run, 1 if fmesh is None else fmesh.size, perm_fn
 
     return _RdfMeanStream(
         out_shape, dtype, runner_for,
@@ -784,6 +842,7 @@ class _RdfMeanStream:
         self._cur_pol = None
         self._run_block = None
         self._n_pad_to = 1
+        self._perm_fn = None
 
     def fold(self, pos_b, pc_b, len_b):
         v_min_b = float(np.prod(np.asarray(len_b), axis=1).min())
@@ -798,17 +857,21 @@ class _RdfMeanStream:
                     "rdf kernel policy switched at frame %d: %s -> %s "
                     "(box volume drift; kept_est=%.2f)",
                     self.T, self._cur_pol, pol, kept_est)
-            self._run_block, self._n_pad_to = self._runner_for(pol)
+            self._run_block, self._n_pad_to, self._perm_fn = \
+                self._runner_for(pol)
             self._cur_pol = pol
         with stage("frame_block", start=self.T, frames=pos_b.shape[0]):
             nb = pos_b.shape[0]
-            pos_b, pc_b, len_b, w = _pad_block(pos_b, pc_b, len_b,
-                                               self._n_pad_to)
+            perm_b = None if self._perm_fn is None else self._perm_fn(pos_b)
+            pos_b, pc_b, len_b, w, perm_b = _pad_block(
+                pos_b, pc_b, len_b, self._n_pad_to, perm_b)
             pb = jnp.asarray(pos_b, self.dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, self.dtype)
-            cur = self._run_block(pb, pcb,
-                                  jnp.asarray(len_b, self.dtype),
-                                  jnp.asarray(w, self.dtype))
+            args = (pb, pcb, jnp.asarray(len_b, self.dtype),
+                    jnp.asarray(w, self.dtype))
+            if perm_b is not None:
+                args += (jnp.asarray(perm_b),)
+            cur = self._run_block(*args)
             if self._pending is not None:
                 self.total += np.asarray(self._pending, np.float64)
             self._pending = cur

@@ -403,6 +403,60 @@ def test_orb_sort_valid_and_kernel_parity():
     np.testing.assert_array_equal(np.asarray(gfull), np.asarray(wfull))
 
 
+def test_host_sort_orb_valid_quality_and_kernel_parity():
+    """Host (NumPy) balanced-ORB twin: (a) a valid permutation with pads
+    sunk to the tail tiles, (b) tile radii no fatter than the device
+    ORB's in the median (same bisection contract), (c) the relation
+    kernel through the host layout equals the dense scatter projection
+    exactly (any permutation is exact)."""
+    from mdproptools_tpu.ops.pairs_pallas import (
+        _tile_geometry, pair_hist_relations_pallas,
+    )
+
+    rng = np.random.default_rng(47)
+    n, box = 900, 16.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    codes = rng.integers(1, 4, n)
+    lay = pair_ops.build_type_layout(codes, 3)
+    L = jnp.full(3, box, jnp.float32)
+    n_pad = -(-n // 128) * 128
+
+    pm = pair_ops.host_sort_orb(pos, n, n_pad)
+    assert pm.dtype == np.int32 and pm.shape == (n_pad,)
+    real = pm[pm >= 0]
+    assert len(real) == n and len(np.unique(real)) == n
+    occ = (pm.reshape(-1, 128) >= 0).sum(axis=1)
+    nz = np.nonzero(occ)[0]
+    assert (occ[nz[:-1]] == 128).all()
+
+    def med_radius(perm):
+        prn = pair_ops.gather_padded_perm(jnp.asarray(pos),
+                                          jnp.asarray(perm))
+        nt = n_pad // 128
+        _, r = _tile_geometry(prn.reshape(nt, 128, 3),
+                              jnp.asarray(perm).reshape(nt, 128), L)
+        return np.median(np.asarray(r)[occ > 0])
+
+    pmd = np.asarray(pair_ops.device_sort_orb(jnp.asarray(pos), n,
+                                              n_pad, L))
+    assert med_radius(pm) <= med_radius(pmd) * 1.05
+
+    pp = pair_ops.gather_padded(jnp.asarray(pos), lay)
+    relations = np.array([[1, 2], [3, 3]])
+    hist = pair_ops.pair_hist(pp, pp, lay, lay, L, 0.1, 128, 6.0, True,
+                              dtype=jnp.float32, method="scatter")
+    wfull, wrels = pair_ops.project_relations(hist, relations, True)
+    pmj = jnp.asarray(pm)
+    pr = pair_ops.gather_padded_perm(jnp.asarray(pos), pmj)
+    codes0 = jnp.asarray(codes - 1, jnp.float32)
+    ty = jnp.where(pmj >= 0, codes0[jnp.maximum(pmj, 0)], -1.0)
+    gfull, grels = pair_hist_relations_pallas(
+        pr, pmj, ty, pr, pmj, ty, relations - 1, L, 0.1, 128, 6.0,
+        True, True, triangle=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(grels), np.asarray(wrels))
+    np.testing.assert_array_equal(np.asarray(gfull), np.asarray(wfull))
+
+
 @pytest.mark.parametrize("exclude_self,triangle", [
     (True, False), (True, True), (False, False), (False, True),
 ])

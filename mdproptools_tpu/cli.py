@@ -169,6 +169,18 @@ def build_parser():
                    help="[[ref types], [other types]] like --relations")
 
     p = sub.add_parser(
+        "cache",
+        help="build the columnar trajectory cache: parse the dumps once, "
+             "then every later analysis pass reads per-column binary "
+             "blocks at page-cache speed (io.cache)")
+    p.add_argument("--dumps", required=True, help="dump glob pattern")
+    p.add_argument("--columns", type=lambda s: s.split(","), default=None,
+                   help="dump columns to cache (default: all numeric)")
+    p.add_argument("--cache-dir", default=None,
+                   help="cache directory (default: <data>/.mdpt_cache/...)")
+    p.add_argument("--block-frames", type=int, default=128)
+
+    p = sub.add_parser(
         "sweep",
         help="batched RDF over many same-system trajectories (one "
              "compiled program, parse/compute overlap)")
@@ -223,6 +235,13 @@ def main(argv=None):
         names = args.diff_names.split(",") if args.diff_names else None
         out = d.calc_diff(msd, diff_names=names, save=True)
         print(out.to_string())
+    elif cmd == "cache":
+        from mdproptools_tpu.io.cache import build_cache
+
+        d = build_cache(args.dumps, cache_dir=args.cache_dir,
+                        columns=args.columns,
+                        block_frames=args.block_frames, progress=True)
+        print(f"cache built at {d}")
     elif cmd == "conductivity":
         from mdproptools_tpu.dynamical.conductivity import Conductivity
 

@@ -412,6 +412,22 @@ def peek_dump_columns(pattern: str) -> List[str]:
     raise ValueError(f"no ATOMS section in {files[0]!r}")
 
 
+BLOCK_TARGET_BYTES = 256 << 20  # soft cap on one stacked block buffer
+#   Wide-column streams (the 12-column composite parse at 42k atoms
+#   costs 515 MB/block at 128 frames) otherwise multiply through the
+#   pipeline: pool + prefetch queue + consumer + being-filled ~= 5 live
+#   blocks (measured, benchmarks/memory_probe.json). Shrinking frames-
+#   per-block for wide/large systems bounds that product; the extra
+#   per-block device fetch (~0.25 s) stays under ~4 ms/frame at the cap.
+
+
+def _block_frames_for(n_atoms: int, n_cols: int,
+                      block_frames: int) -> int:
+    per_frame = max(n_atoms * n_cols * 8, 1)
+    return int(min(block_frames,
+                   max(8, BLOCK_TARGET_BYTES // per_frame)))
+
+
 class _BlockBufferPool:
     """Recycle the O(block x N x C) stacked-block buffers.
 
@@ -487,20 +503,52 @@ def iter_trajectory_blocks(
     block_frames: int = 128,
     sort_by_id: bool = True,
     max_frames: Optional[int] = None,
+    cache="auto",
 ) -> Iterator[Trajectory]:
     """Stream a dump pattern as fixed-shape ``Trajectory`` blocks of at
     most ``block_frames`` frames each. Host memory stays O(block x N x C)
     regardless of trajectory length — the device-feed analogue of the
     reference's lazy ``parse_lammps_dumps`` generator (used lazily at
     ``diffusion.py:172``; its CHANGELOG v0.0.4 explicitly moved away
-    from read-all-at-once). Frame order matches ``read_trajectory``."""
+    from read-all-at-once). Frame order matches ``read_trajectory``.
+
+    ``cache``: "auto" (default) serves the blocks from a valid columnar
+    cache next to the data when one exists (``io.cache`` — per-column
+    binary blocks read at page-cache speed, skipping text parsing
+    entirely); a directory path forces that cache; False always parses
+    text. Caches are only ever CREATED explicitly (``io.cache
+    .build_cache`` / ``mdpt cache``), never as a side effect here."""
+    if cache and sort_by_id:
+        from mdproptools_tpu.io import cache as _cache
+
+        meta = _cache.load_meta(
+            pattern, None if cache == "auto" or cache is True else cache)
+        if meta is not None:
+            cols_ok = columns is None or all(
+                c in meta["columns"] for c in columns)
+            if cols_ok:
+                yield from _cache.iter_cached_blocks(
+                    meta, columns=columns, block_frames=block_frames,
+                    max_frames=max_frames)
+                return
+            if cache != "auto" and cache is not True:
+                raise ValueError(
+                    f"cache at {cache!r} lacks requested columns "
+                    f"{[c for c in columns if c not in meta['columns']]}")
     frames: List[Frame] = []
     seen = 0
+    eff_block = block_frames
     for fr in parse_lammps_dumps(pattern, sort_by_id=sort_by_id,
                                  columns=columns):
+        if not frames and seen == 0:
+            # apply the block-byte cap once the first frame's (N, C)
+            # is known; all consumers handle variable block sizes (the
+            # remainder block already exercises that)
+            eff_block = _block_frames_for(fr.natoms, len(fr.columns),
+                                          block_frames)
         frames.append(fr)
         seen += 1
-        if len(frames) == block_frames:
+        if len(frames) == eff_block:
             yield _stack_frames(frames, columns)
             frames = []
         if max_frames is not None and seen >= max_frames:

@@ -1,0 +1,131 @@
+"""Columnar trajectory cache: built once, every later pass must be
+bit-identical to the text parser (data, timesteps, bounds), including
+column subsets, re-chunked blocks and max_frames; stale caches must be
+ignored via the fingerprint."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from mdproptools_tpu.io.cache import (
+    build_cache,
+    default_cache_dir,
+    load_meta,
+)
+from mdproptools_tpu.io.lammps_dump import (
+    iter_trajectory_blocks,
+    read_trajectory,
+)
+
+
+@pytest.fixture()
+def data_copy(dump_pattern, tmp_path):
+    """Private copy of the bundled dumps (cache dirs are written next
+    to the data; don't pollute the repo's data/)."""
+    for f in glob.glob(dump_pattern):
+        shutil.copy(f, tmp_path / os.path.basename(f))
+    return str(tmp_path / "dump.nvt.*.dump")
+
+
+def _collect(pattern, **kw):
+    datas, ts, bounds = [], [], []
+    for blk in iter_trajectory_blocks(pattern, **kw):
+        datas.append(np.array(blk.data))
+        ts.append(blk.timesteps.copy())
+        bounds.append(blk.box_bounds.copy())
+    return (np.concatenate(datas), np.concatenate(ts),
+            np.concatenate(bounds))
+
+
+def test_cache_roundtrip_bit_identical(data_copy):
+    cols = ["id", "type", "x", "y", "z"]
+    want = _collect(data_copy, columns=cols, cache=False)
+    cache_dir = build_cache(data_copy, columns=cols, block_frames=3)
+    assert load_meta(data_copy) is not None
+    got = _collect(data_copy, columns=cols, cache="auto")
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    # column subset reads only those files; still bit-identical
+    want_xy = _collect(data_copy, columns=["x", "y"], cache=False)
+    got_xy = _collect(data_copy, columns=["x", "y"], cache=cache_dir)
+    for g, w in zip(got_xy, want_xy):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_cache_rechunk_and_max_frames(data_copy):
+    cols = ["id", "x"]
+    build_cache(data_copy, columns=cols, block_frames=2)
+    for bf in (1, 3, 100):
+        want = _collect(data_copy, columns=cols, cache=False,
+                        block_frames=bf)
+        got = _collect(data_copy, columns=cols, cache="auto",
+                       block_frames=bf)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+    want = _collect(data_copy, columns=cols, cache=False, max_frames=4,
+                    block_frames=3)
+    got = _collect(data_copy, columns=cols, cache="auto", max_frames=4,
+                   block_frames=3)
+    assert got[0].shape[0] == 4
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_cache_fingerprint_invalidation(data_copy):
+    build_cache(data_copy, columns=["id", "x"], block_frames=3)
+    assert load_meta(data_copy) is not None
+    # grow one file -> fingerprint mismatch -> cache ignored
+    victim = sorted(glob.glob(data_copy))[0]
+    with open(victim, "a") as fh:
+        fh.write("\n")
+    assert load_meta(data_copy) is None
+    # iter falls back to text parsing (and still parses fine)
+    blk = next(iter_trajectory_blocks(data_copy, columns=["id", "x"]))
+    assert blk.n_frames > 0
+
+
+def test_cache_missing_column_behavior(data_copy):
+    cache_dir = build_cache(data_copy, columns=["x", "y"], block_frames=3)
+    # auto mode: silently falls back to parsing for uncovered columns
+    want = _collect(data_copy, columns=["id", "x"], cache=False)
+    got = _collect(data_copy, columns=["id", "x"], cache="auto")
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    # forced cache dir: explicit error
+    with pytest.raises(ValueError, match="lacks requested columns"):
+        list(iter_trajectory_blocks(data_copy, columns=["id", "x"],
+                                    cache=cache_dir))
+
+
+def test_entry_point_equal_with_cache(data_copy, tmp_path):
+    """calc_atomic_rdf through the cache must equal the text-parse run
+    exactly (same block shapes, same summation order)."""
+    from mdproptools_tpu.structural.rdf_cn import calc_atomic_rdf
+
+    MASS = [16.0, 12.01, 1.008, 14.01, 32.06, 16.0, 12.01, 19.0, 24.305]
+    kw = dict(save_mode=False, precision="strict")
+    want = calc_atomic_rdf(10, 0.1, 9, MASS, [[8], [9]], data_copy, **kw)
+    build_cache(data_copy, columns=["id", "type", "x", "y", "z"])
+    assert load_meta(data_copy) is not None
+    got = calc_atomic_rdf(10, 0.1, 9, MASS, [[8], [9]], data_copy, **kw)
+    np.testing.assert_array_equal(got.to_numpy(), want.to_numpy())
+
+
+def test_read_trajectory_unaffected(data_copy):
+    """read_trajectory doesn't take the cache path (whole-file reads
+    stay text-parsed); sanity that both agree anyway."""
+    build_cache(data_copy, columns=["id", "x"])
+    tr = read_trajectory(data_copy, columns=["id", "x"])
+    blk, ts, _ = _collect(data_copy, columns=["id", "x"], cache="auto",
+                          block_frames=1000)
+    np.testing.assert_array_equal(tr.data, blk)
+    np.testing.assert_array_equal(tr.timesteps, ts)
+
+
+def test_default_cache_dir_location(data_copy):
+    d = default_cache_dir(data_copy)
+    assert ".mdpt_cache" in d
+    assert d.startswith(os.path.dirname(sorted(glob.glob(data_copy))[0]))

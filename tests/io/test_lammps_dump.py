@@ -143,6 +143,22 @@ def test_triclinic_box_rejected(tmp_path):
         read_trajectory(str(p))
 
 
+def test_block_byte_cap():
+    """Wide-column / large-N streams shrink frames-per-block so one
+    stacked buffer stays under BLOCK_TARGET_BYTES (floor 8 frames);
+    small systems keep the requested block size."""
+    from mdproptools_tpu.io.lammps_dump import (
+        BLOCK_TARGET_BYTES,
+        _block_frames_for,
+    )
+
+    assert _block_frames_for(10_479, 5, 128) == 128  # bundled: under cap
+    b = _block_frames_for(41_916, 12, 128)  # composite at north star
+    assert 8 <= b < 128
+    assert b * 41_916 * 12 * 8 <= BLOCK_TARGET_BYTES
+    assert _block_frames_for(10_000_000, 13, 128) == 8  # floor
+
+
 def test_iter_trajectory_blocks_matches_read(dump_pattern):
     from mdproptools_tpu.io.lammps_dump import (
         iter_trajectory_blocks,

@@ -59,6 +59,43 @@ def test_cli_analyze_composite(mg_tfsi_dme_dir, tmp_path, capsys):
     assert "residence C(t)" in captured
 
 
+def test_cli_cache_build_and_reuse(mg_tfsi_dme_dir, tmp_path, capsys):
+    """`mdpt cache` builds the columnar cache; a later CLI rdf run on
+    the same pattern is served from it and matches the text-parse run
+    exactly."""
+    import shutil
+
+    import pandas as pd
+
+    for ts in [0, 50000, 100000]:
+        shutil.copy(os.path.join(mg_tfsi_dme_dir, f"dump.nvt.{ts}.dump"),
+                    tmp_path)
+    pattern = str(tmp_path / "dump.nvt.*.dump")
+    common = [
+        "--r-cut", "5", "--bin-size", "0.1", "--num-types", "9",
+        "--mass", "16,12.01,1.008,14.01,32.06,16,12.01,19,24.305",
+        "--relations", "8-1,9-1", "--precision", "strict",
+    ]
+    out_text = str(tmp_path / "rdf_text.csv")
+    assert main(["rdf", "--dumps", pattern, "--out", out_text,
+                 *common]) == 0
+
+    rc = main(["cache", "--dumps", pattern,
+               "--columns", "id,type,x,y,z"])
+    assert rc == 0
+    assert "cache built at" in capsys.readouterr().out
+    from mdproptools_tpu.io.cache import load_meta
+
+    assert load_meta(pattern) is not None
+
+    out_cached = str(tmp_path / "rdf_cached.csv")
+    assert main(["rdf", "--dumps", pattern, "--out", out_cached,
+                 *common]) == 0
+    a = pd.read_csv(out_text)
+    b = pd.read_csv(out_cached)
+    np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
+
+
 def test_cli_relations_parsing():
     from mdproptools_tpu.cli import _relations, _shells
 

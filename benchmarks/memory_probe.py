@@ -169,5 +169,186 @@ def main():
     print("wrote", path)
 
 
+def dispatch_probe(n_iters: int = 200):
+    """Isolate the composite's ~2-4 MB/frame RSS growth: the probe's
+    time series shows malloc IN-USE growing with RSS while tracemalloc
+    stays flat, i.e. live C-level allocations. This mode dispatches a
+    block-shaped jitted program against the real backend with (A) one
+    resident device input re-executed N times and (B) a fresh 44 MB
+    host->device upload per iteration, sampling RSS + mallinfo each 10
+    dispatches. A nonzero slope in (A) pins the growth on per-dispatch
+    client retention; (B)-only growth pins it on transfer staging.
+    Merges a ``dispatch_growth`` row into memory_probe.json."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(HERE), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    shape = (66, 41916, 4)  # one capped trajectory block, f32
+    x_np = np.random.default_rng(0).random(shape).astype(np.float32)
+
+    @jax.jit
+    def step(x):
+        return jnp.sum(x * 1.0001, axis=(0, 1))
+
+    rows = []
+
+    def snap(phase, i):
+        used, freeh = malloc_info()
+        rows.append({
+            "phase": phase, "i": i, "rss_gb": round(rss_gb(), 3),
+            "malloc_in_use_gb": None if used is None else round(used, 3),
+        })
+
+    xd = jax.device_put(x_np)
+    np.asarray(step(xd))  # compile + first transfer outside the window
+    t0 = time.time()
+    snap("exec_only", 0)
+    for i in range(n_iters):
+        np.asarray(step(xd))
+        if i % 10 == 9:
+            snap("exec_only", i + 1)
+    snap("upload_exec", 0)
+    for i in range(n_iters):
+        np.asarray(step(jax.device_put(x_np)))
+        if i % 10 == 9:
+            snap("upload_exec", i + 1)
+    wall = time.time() - t0
+
+    def slope(phase):
+        ph = [r for r in rows if r["phase"] == phase]
+        di = ph[-1]["i"] - ph[0]["i"]
+        return {
+            "rss_mb_per_dispatch": round(
+                (ph[-1]["rss_gb"] - ph[0]["rss_gb"]) * 1e3 / di, 3),
+            "malloc_in_use_mb_per_dispatch": round(
+                (ph[-1]["malloc_in_use_gb"] - ph[0]["malloc_in_use_gb"])
+                * 1e3 / di, 3) if ph[0]["malloc_in_use_gb"] is not None
+            else None,
+        }
+
+    row = {
+        "n_iters": n_iters,
+        "wall_s": round(wall, 1),
+        "block_mb_uploaded_per_iter": round(x_np.nbytes / 1e6, 1),
+        "exec_only": slope("exec_only"),
+        "upload_exec": slope("upload_exec"),
+        "samples": rows,
+        "backend": jax.devices()[0].platform,
+    }
+    path = os.path.join(HERE, "memory_probe.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            data = json.load(fh)
+    data["dispatch_growth"] = row
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(json.dumps({k: row[k] for k in
+                      ("n_iters", "exec_only", "upload_exec")}))
+
+
+def release_probe(n_uploads: int = 24):
+    """Follow-up to ``dispatch_probe``: every host->device upload retains
+    its full buffer size in host RSS (43.2 MB per 44 MB block). This mode
+    asks whether ANYTHING releases it: (a) device arrays held live then
+    deleted + gc, (b) ``jax.clear_caches()``, (c) a sync fetch, (d) time.
+    Also re-checks the temporaries case (upload consumed immediately, no
+    Python reference survives the iteration) to separate "tied to the
+    live device buffer" from "leaked by the transfer path".
+    Merges an ``upload_release`` row into memory_probe.json."""
+    import gc
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(HERE), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    shape = (66, 41916, 4)  # 44.3 MB f32, one capped trajectory block
+    x_np = np.random.default_rng(0).random(shape).astype(np.float32)
+
+    @jax.jit
+    def step(x):
+        return jnp.sum(x * 1.0001, axis=(0, 1))
+
+    def snap(label, rows):
+        used, freeh = malloc_info()
+        rows.append({"label": label, "rss_gb": round(rss_gb(), 3),
+                     "malloc_in_use_gb":
+                         None if used is None else round(used, 3)})
+        return rows[-1]
+
+    rows = []
+    xd = jax.device_put(x_np)
+    np.asarray(step(xd))  # compile outside the window
+    base = snap("baseline", rows)
+
+    # (1) uploads HELD live in a list
+    held = [jax.device_put(x_np) for _ in range(n_uploads)]
+    np.asarray(step(held[-1]))
+    after_held = snap("after_held_uploads", rows)
+    del held
+    gc.collect()
+    np.asarray(step(xd))  # sync point
+    after_del = snap("after_del_gc_sync", rows)
+    jax.clear_caches()
+    gc.collect()
+    np.asarray(step(xd))
+    after_clear = snap("after_clear_caches", rows)
+    time.sleep(5.0)
+    after_sleep = snap("after_sleep_5s", rows)
+
+    # (2) uploads as TEMPORARIES (consumed and dropped immediately)
+    base2 = snap("baseline2", rows)
+    for _ in range(n_uploads):
+        np.asarray(step(jax.device_put(x_np)))
+    after_tmp = snap("after_temp_uploads", rows)
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+    np.asarray(step(xd))
+    time.sleep(5.0)
+    after_tmp_release = snap("after_temp_release_attempts", rows)
+
+    mb = x_np.nbytes / 1e6
+
+    def delta(a, b):
+        return round((b["rss_gb"] - a["rss_gb"]) * 1e3 / n_uploads, 1)
+
+    row = {
+        "n_uploads": n_uploads,
+        "block_mb": round(mb, 1),
+        "held_rss_mb_per_upload": delta(base, after_held),
+        "held_after_del_gc_mb_per_upload": delta(base, after_del),
+        "held_after_clear_caches_mb_per_upload": delta(base, after_clear),
+        "held_after_sleep_mb_per_upload": delta(base, after_sleep),
+        "temp_rss_mb_per_upload": delta(base2, after_tmp),
+        "temp_after_release_attempts_mb_per_upload":
+            delta(base2, after_tmp_release),
+        "samples": rows,
+        "backend": jax.devices()[0].platform,
+    }
+    path = os.path.join(HERE, "memory_probe.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            data = json.load(fh)
+    data["upload_release"] = row
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(json.dumps({k: v for k, v in row.items() if k != "samples"}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "dispatch":
+        dispatch_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200)
+    elif len(sys.argv) > 1 and sys.argv[1] == "release":
+        release_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 24)
+    else:
+        main()

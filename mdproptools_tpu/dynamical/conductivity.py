@@ -152,13 +152,20 @@ class Conductivity:
             stream.fold(blk)
         return stream.finalize()
 
-    def flux_stream(self):
+    def flux_stream(self, fold="host"):
         """(beyond-reference) push-model charge flux:
         ``fold(frame_block)`` one parsed block at a time, ``finalize()``
         -> the (3, n_mol_types, T) flux (and sets ``self.time``), so the
         shared-parse composite pipeline (``mdproptools_tpu.pipeline``)
-        can feed one parse into several property streams."""
-        return _FluxStream(self)
+        can feed one parse into several property streams.
+
+        ``fold="host"`` (default) reduces each block on the host in
+        float64 (``ops/host_fold.py`` — the reduction is
+        bandwidth-trivial and per-block device uploads are retained in
+        host RSS by the tunneled TPU client); ``fold="device"`` keeps
+        the jitted per-block segment-sum program (the mesh-sharded
+        path)."""
+        return _FluxStream(self, fold)
 
     def correlate_charge_flux(self, flux):
         """All type-pair cross-correlations, summed over xyz; row i =
@@ -372,17 +379,30 @@ class _FluxStream:
     segment-sum flux program on each parsed block, ``finalize()``
     returns the (3, n_mol_types, T) flux and sets ``cond.time``."""
 
-    def __init__(self, cond: Conductivity):
+    def __init__(self, cond: Conductivity, fold="host"):
+        if fold not in ("host", "device"):
+            raise ValueError("fold must be 'host' or 'device'.")
         self.c = cond
+        self.fold_mode = fold
         self.dtype = resolve_dtype(cond.precision)
-        system = System(cond.num_mols, cond.num_atoms_per_mol,
-                        mass=cond.mass)
+        self._system = System(cond.num_mols, cond.num_atoms_per_mol,
+                              mass=cond.mass)
+        self._vconv = constants.VELOCITY_CONVERSION[cond.units]
+        self._qconv = constants.CHARGE_CONVERSION[cond.units]
+        self._flux_fn = None if fold == "host" else self._build_flux_fn()
+        self._host_fold = None  # host reduceat layout (fold="host")
+        self._qmol = None  # (M,) molecular charges, SI (fold="host")
+        self._j_parts = []
+        self._timesteps = []
+        self._masses = self._q = self._q_d = self._m_d = None
+
+    def _build_flux_fn(self):
+        system = self._system
         mol_index = jnp.asarray(system.mol_index)
         type_index = jnp.asarray(system.mol_type_of_molecule - 1)
         n_mols = system.n_molecules
         n_types = system.n_mol_types
-        vconv = constants.VELOCITY_CONVERSION[cond.units]
-        qconv = constants.CHARGE_CONVERSION[cond.units]
+        vconv, qconv = self._vconv, self._qconv
 
         @jax.jit
         def flux_fn(vel_d, q_d, m_d):
@@ -399,10 +419,7 @@ class _FluxStream:
                                     num_segments=vel_d.shape[0] * n_types)
             return j.reshape(vel_d.shape[0], n_types, 3)
 
-        self._flux_fn = flux_fn
-        self._j_parts = []
-        self._timesteps = []
-        self._masses = self._q = self._q_d = self._m_d = None
+        return flux_fn
 
     def fold(self, blk):
         c = self.c
@@ -419,9 +436,29 @@ class _FluxStream:
             if not blk.has("q"):
                 raise AssertionError("Missing atom charges in dump file.")
             self._q = blk.col("q")[0].copy()
-            # constants cross the tunnel ONCE, not once per block
-            self._q_d = jnp.asarray(self._q, self.dtype)
-            self._m_d = jnp.asarray(self._masses, self.dtype)
+            if self.fold_mode == "host":
+                from ..ops.host_fold import MolecularFold
+
+                self._host_fold = MolecularFold(self._system, self._masses)
+                self._qmol = (self._host_fold.molecular_charges(self._q)
+                              * self._qconv)
+            else:
+                # constants cross the tunnel ONCE, not once per block
+                self._q_d = jnp.asarray(self._q, self.dtype)
+                self._m_d = jnp.asarray(self._masses, self.dtype)
+        if self.fold_mode == "host":
+            # Host float64 reduceat fold (ops/host_fold.py): the
+            # (block, N, 3) velocity copy is weighted in place and
+            # reduced to the (block, n_types, 3) flux without touching
+            # the device — no upload, so nothing for the tunneled
+            # client to retain. f64 regardless of ``precision``.
+            vel_b = blk.cols_as(["vx", "vy", "vz"], np.float64)
+            with stage("charge_flux", frames=vel_b.shape[0]):
+                self._j_parts.append(
+                    self._host_fold.charge_flux(vel_b, self._qmol,
+                                                self._vconv))
+            self._timesteps.append(blk.timesteps)
+            return
         # fused f64->dtype column copy (one pass, no f64 temporary)
         vel_b = blk.cols_as(["vx", "vy", "vz"], self.dtype)
         with stage("charge_flux", frames=vel_b.shape[0]):
@@ -436,7 +473,10 @@ class _FluxStream:
     def finalize(self):
         if not self._j_parts:
             raise ValueError("no frames folded")
-        j = np.asarray(jnp.concatenate(self._j_parts), np.float64)
+        if self.fold_mode == "host":
+            j = np.concatenate(self._j_parts)  # f64 already
+        else:
+            j = np.asarray(jnp.concatenate(self._j_parts), np.float64)
         self._j_parts.clear()
         self.c.time = list(
             np.concatenate(self._timesteps).astype(np.float64)

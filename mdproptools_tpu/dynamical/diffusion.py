@@ -163,15 +163,22 @@ class Diffusion:
 
     def msd_stream(self, msd_type="com", num_mols=None,
                    num_atoms_per_mol=None, mass=None, tao_coeff=4,
-                   precision="strict", msd_all_path=None):
+                   precision="strict", msd_all_path=None, fold="host"):
         """(beyond-reference) push-model MSD: ``fold(frame_block)`` one
         parsed block at a time, then ``finalize(...)`` for the same
         DataFrames ``get_msd_from_dump`` returns. Lets the shared-parse
         composite pipeline (``mdproptools_tpu.pipeline``) feed one parse
-        into several property streams."""
+        into several property streams.
+
+        ``fold="host"`` (default) reduces each block to molecular COMs
+        on the host in float64 (``ops/host_fold.py`` — the reduction is
+        bandwidth-trivial and per-block device uploads are retained in
+        host RSS by the tunneled TPU client); ``fold="device"`` keeps
+        the jitted segment-sum program per block (the mesh-sharded
+        path)."""
         return _MsdStream(self, msd_type, num_mols, num_atoms_per_mol,
                           mass, tao_coeff, resolve_dtype(precision),
-                          msd_all_path)
+                          msd_all_path, fold)
 
     def _com_finalize(self, coords, time_s, system, masses, com_drift,
                       avg_interval, tao_coeff):
@@ -606,9 +613,11 @@ class _MsdStream:
     ``get_msd_from_dump`` returns."""
 
     def __init__(self, diff, msd_type, num_mols, num_atoms_per_mol, mass,
-                 tao_coeff, dtype, msd_all_path):
+                 tao_coeff, dtype, msd_all_path, fold="host"):
         if msd_type not in ("allatom", "com"):
             raise ValueError("msd_type must be 'allatom' or 'com'.")
+        if fold not in ("host", "device"):
+            raise ValueError("fold must be 'host' or 'device'.")
         if msd_all_path is not None and msd_type != "allatom":
             raise ValueError(
                 "msd_all_path streams the allatom per-atom table; the "
@@ -622,11 +631,13 @@ class _MsdStream:
         self.dtype = dtype
         self.msd_all_path = msd_all_path
         self.dist = constants.DISTANCE_CONVERSION[diff.units]
+        self.fold_mode = fold
         self.ids = self.masses = self.system = None
         self.coords_parts = []
         self.ts_parts = []
         self.aa = None
         self._com_fn = None  # jitted per-block COM program (com path)
+        self._host_fold = None  # host reduceat layout (fold="host")
 
     def fold(self, blk):
         if self.ids is None:  # frame-0 metadata
@@ -645,7 +656,21 @@ class _MsdStream:
                     self.masses = blk.col("mass")[0].copy()
                 else:
                     raise AssertionError("Missing atom masses in dump file.")
-        if self.msd_type == "com":
+        if self.msd_type == "com" and self.fold_mode == "host":
+            # Host float64 reduceat fold (ops/host_fold.py): the
+            # (block, N, 3) copy is weighted in place and reduced to
+            # (block, M, 3) without touching the device — no upload,
+            # so nothing for the tunneled client to retain, and the
+            # few-ms/frame host cost hides under the composite's RDF
+            # device fold. f64 regardless of ``precision`` (strictly
+            # tighter than the fast-mode device fold it replaces).
+            if self._host_fold is None:
+                from ..ops.host_fold import MolecularFold
+
+                self._host_fold = MolecularFold(self.system, self.masses)
+            xu_b = Diffusion._unwrapped_coords(blk, np.float64)
+            self.coords_parts.append(self._host_fold.segment_com(xu_b))
+        elif self.msd_type == "com":
             # fused f64->dtype column copy (one pass, no f64 temporary)
             xu_b = Diffusion._unwrapped_coords(blk, self.dtype)
             if self._com_fn is None:
@@ -688,10 +713,14 @@ class _MsdStream:
             return self.d._allatom_finalize(self.aa, time_s, self.ids,
                                             avg_interval,
                                             self.msd_all_path)
-        # one device concatenate + ONE fetch for the whole trajectory's
-        # COM history (see fold); f64 promotion happens host-side
-        coords = np.asarray(
-            jnp.concatenate(self.coords_parts), np.float64)
+        if self.fold_mode == "host":
+            coords = np.concatenate(self.coords_parts)  # f64 already
+        else:
+            # one device concatenate + ONE fetch for the whole
+            # trajectory's COM history (see fold); f64 promotion
+            # happens host-side
+            coords = np.asarray(
+                jnp.concatenate(self.coords_parts), np.float64)
         self.coords_parts.clear()
         if coords.flags.writeable:
             coords *= self.dist  # SI, in place (no T x M x 3 temporary)

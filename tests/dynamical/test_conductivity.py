@@ -76,6 +76,37 @@ def test_charge_flux_matches_oracle(five_frame_dir):
     )
 
 
+def test_charge_flux_host_fold_matches_device_fold(five_frame_dir):
+    """The host float64 reduceat flux fold (ops/host_fold.py, the
+    streaming default — per-block device uploads are retained in host
+    RSS by the tunneled TPU client) must match the jitted device
+    segment-sum program at the stream surface, across forced block
+    boundaries (2-frame blocks)."""
+    from mdproptools_tpu.io.lammps_dump import iter_trajectory_blocks
+
+    outs = {}
+    for fold in ("host", "device"):
+        cond = Conductivity(
+            "dump.nvt.*.dump", NUM_MOLS, NUM_APM, volume=49.0**3,
+            mass=MASS, working_dir=five_frame_dir)
+        stream = cond.flux_stream(fold=fold)
+        for blk in iter_trajectory_blocks(
+                f"{five_frame_dir}/dump.nvt.*.dump",
+                columns=["id", "type", "q", "vx", "vy", "vz"],
+                block_frames=2):
+            stream.fold(blk)
+        outs[fold] = (stream.finalize(), list(cond.time))
+    j_h, t_h = outs["host"]
+    j_d, t_d = outs["device"]
+    assert j_h.shape == j_d.shape == (3, 3, 5)
+    np.testing.assert_allclose(j_h, j_d, rtol=1e-12, atol=1e-30)
+    np.testing.assert_allclose(t_h, t_d)
+    with pytest.raises(ValueError, match="fold"):
+        Conductivity("dump.nvt.*.dump", NUM_MOLS, NUM_APM,
+                     volume=49.0**3, mass=MASS,
+                     working_dir=five_frame_dir).flux_stream(fold="gpu")
+
+
 def test_correlate_charge_flux_matches_loop():
     rng = np.random.default_rng(4)
     flux = rng.normal(size=(3, 2, 50))

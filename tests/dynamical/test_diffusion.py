@@ -158,6 +158,37 @@ def test_msd_com_matches_oracle(five_frame_dir, traj5, tmp_path, benchmark):
                                      "dy2", "dz2", "msd"]
 
 
+def test_msd_com_host_fold_matches_device_fold(five_frame_dir, tmp_path):
+    """The host float64 reduceat COM fold (ops/host_fold.py, the
+    streaming default — per-block device uploads are retained in host
+    RSS by the tunneled TPU client) must match the jitted device
+    segment-sum fold at the stream surface, across forced block
+    boundaries (2-frame blocks)."""
+    from mdproptools_tpu.io.lammps_dump import iter_trajectory_blocks
+
+    d = Diffusion(timestep=1, units="real", outputs_dir=five_frame_dir,
+                  diff_dir=str(tmp_path))
+    outs = {}
+    for fold in ("host", "device"):
+        stream = d.msd_stream(
+            msd_type="com", num_mols=NUM_MOLS, num_atoms_per_mol=NUM_APM,
+            mass=MASS, fold=fold)
+        for blk in iter_trajectory_blocks(
+                f"{five_frame_dir}/dump.nvt.*.dump", block_frames=2):
+            stream.fold(blk)
+        outs[fold] = stream.finalize(com_drift=True)
+    msd_h, all_h = outs["host"]
+    msd_d, all_d = outs["device"]
+    assert list(msd_h.columns) == list(msd_d.columns)
+    np.testing.assert_allclose(msd_h.to_numpy(), msd_d.to_numpy(),
+                               rtol=1e-12, atol=0)
+    np.testing.assert_allclose(all_h["msd"].to_numpy(),
+                               all_d["msd"].to_numpy(), rtol=1e-12, atol=0)
+    with pytest.raises(ValueError, match="fold"):
+        d.msd_stream(msd_type="com", num_mols=NUM_MOLS,
+                     num_atoms_per_mol=NUM_APM, mass=MASS, fold="tpu")
+
+
 def test_calc_diff_recovers_synthetic_D(tmp_path):
     """Random walk with known diffusion coefficient: MSD = 6 D t."""
     rng = np.random.default_rng(11)

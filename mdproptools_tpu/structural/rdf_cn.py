@@ -345,13 +345,23 @@ def _make_block_runner(step_fn, out_shape, dtype, mesh=None,
     return run_block
 
 
-def _pad_block(pos_b, pc_b, len_b, n_pad_to, perm_b=None):
+def _pad_block(pos_b, pc_b, len_b, n_pad_to, perm_b=None, target=0):
     """Pad a frame block to a multiple of the frames-mesh size with
-    zero-weight copies of the first frame (equal shards requirement)."""
+    zero-weight copies of the first frame (equal shards requirement).
+
+    ``target``: additionally pad up to this frame count — the streaming
+    loops pass the steady block shape so a trailing partial block reuses
+    the already-compiled program instead of triggering a fresh-shape
+    compile (measured 74.7 s through the axon tunnel for the 2-frame
+    remainder of the 10,100-frame north-star run vs <=1 block of masked
+    compute, ~10 s, for the pad)."""
     nb = pos_b.shape[0]
     w = np.ones(nb)
-    if n_pad_to > 1 and nb % n_pad_to:
-        extra = n_pad_to - nb % n_pad_to
+    tgt = max(nb, int(target))
+    if n_pad_to > 1 and tgt % n_pad_to:
+        tgt += n_pad_to - tgt % n_pad_to
+    if tgt > nb:
+        extra = tgt - nb
         pos_b = np.concatenate(
             [pos_b, np.repeat(pos_b[:1], extra, axis=0)])
         if pc_b is not None:
@@ -379,11 +389,13 @@ def _accumulate_stream_device(run_block, blocks, dtype, n_pad_to=1):
     total_host = None
     pending = None
     T = 0
+    steady = 0
     for pos_b, pc_b, len_b in blocks:
         with stage("frame_block", start=T, frames=pos_b.shape[0]):
             nb = pos_b.shape[0]
             pos_b, pc_b, len_b, w, _ = _pad_block(pos_b, pc_b, len_b,
-                                                  n_pad_to)
+                                                  n_pad_to, target=steady)
+            steady = max(steady, pos_b.shape[0])
             pb = jnp.asarray(pos_b, dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
             cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),
@@ -413,11 +425,13 @@ def _run_stream(run_block, out_shape, blocks, dtype, n_pad_to=1):
     total = np.zeros(out_shape, np.float64)
     T = 0
     pending = None  # device result of the previous block, not yet fetched
+    steady = 0
     for pos_b, pc_b, len_b in blocks:
         with stage("frame_block", start=T, frames=pos_b.shape[0]):
             nb = pos_b.shape[0]
             pos_b, pc_b, len_b, w, _ = _pad_block(pos_b, pc_b, len_b,
-                                                  n_pad_to)
+                                                  n_pad_to, target=steady)
+            steady = max(steady, pos_b.shape[0])
             pb = jnp.asarray(pos_b, dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
             cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),
@@ -843,6 +857,7 @@ class _RdfMeanStream:
         self._run_block = None
         self._n_pad_to = 1
         self._perm_fn = None
+        self._steady = 0  # steady block shape; partial blocks pad to it
 
     def fold(self, pos_b, pc_b, len_b):
         v_min_b = float(np.prod(np.asarray(len_b), axis=1).min())
@@ -864,7 +879,9 @@ class _RdfMeanStream:
             nb = pos_b.shape[0]
             perm_b = None if self._perm_fn is None else self._perm_fn(pos_b)
             pos_b, pc_b, len_b, w, perm_b = _pad_block(
-                pos_b, pc_b, len_b, self._n_pad_to, perm_b)
+                pos_b, pc_b, len_b, self._n_pad_to, perm_b,
+                target=self._steady)
+            self._steady = max(self._steady, pos_b.shape[0])
             pb = jnp.asarray(pos_b, self.dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, self.dtype)
             args = (pb, pcb, jnp.asarray(len_b, self.dtype),

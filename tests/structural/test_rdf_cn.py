@@ -249,3 +249,30 @@ def test_streaming_blocks_identical_results(dump_pattern, tmp_path,
     monkeypatch.setattr(mod, "FRAME_BLOCK", 2)
     df_blocks = mod.calc_atomic_rdf(filename=pattern, **kw)
     pd.testing.assert_frame_equal(df_one, df_blocks)
+    # trailing partial block (4 + 2): the remainder pads to the steady
+    # shape with zero-weight frames and must stay exact
+    monkeypatch.setattr(mod, "FRAME_BLOCK", 4)
+    df_rem = mod.calc_atomic_rdf(filename=pattern, **kw)
+    pd.testing.assert_frame_equal(df_one, df_rem)
+
+
+def test_pad_block_targets_steady_shape():
+    """A partial trailing block pads up to the steady block shape
+    (zero-weight frames) so the compiled program is reused; the frames
+    mesh multiple is still honored on top of the target."""
+    import numpy as np
+
+    from mdproptools_tpu.structural.rdf_cn import _pad_block
+
+    pos = np.arange(2 * 5 * 3, dtype=np.float64).reshape(2, 5, 3)
+    lens = np.ones((2, 3))
+    out, _, lens_p, w, _ = _pad_block(pos, None, lens, 1, target=7)
+    assert out.shape[0] == 7 and lens_p.shape[0] == 7
+    assert w.tolist() == [1, 1, 0, 0, 0, 0, 0]
+    assert (out[2:] == pos[:1]).all()
+    # target rounds up to the mesh multiple
+    out, _, _, w, _ = _pad_block(pos, None, lens, 4, target=7)
+    assert out.shape[0] == 8 and w.sum() == 2
+    # no target, no mesh: unchanged
+    out, _, _, w, _ = _pad_block(pos, None, lens, 1)
+    assert out.shape[0] == 2 and w.sum() == 2

@@ -33,4 +33,4 @@ del _tune
 from mdproptools_tpu import common, dynamical, io, ops, parallel, structural, utilities
 from mdproptools_tpu.pipeline import analyze
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"

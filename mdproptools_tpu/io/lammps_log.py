@@ -7,8 +7,12 @@ Handles the thermo styles pymatgen's parser covers:
 
 - ``one`` / ``custom`` styles: a header line of column names (any
   order — ``Step`` need not be first) followed by all-numeric rows,
-  terminated by the first non-conforming line (``Loop time of ...``, a
-  warning, or EOF);
+  terminated by the first non-conforming line (``Loop time of ...`` or
+  EOF). ``WARNING: ...`` lines interleaved MID-SECTION (real LAMMPS
+  emits bond/neighbor warnings between thermo rows) are skipped without
+  ending the section, and a truncated final row (a killed run writes a
+  partial line) is dropped — both cases crash the reference's
+  pymatgen ``pd.read_csv`` path;
 - ``multi`` style: per-step blocks introduced by
   ``---- Step N ----- CPU = x (sec) ----`` followed by lines of
   ``Name = value`` triplets; consecutive step blocks form one section.
@@ -101,7 +105,16 @@ def parse_lammps_log(filename: str) -> List[pd.DataFrame]:
                 if len(row) == len(header) and _is_numeric_row(row):
                     rows.append(row)
                     i += 1
+                elif (lines[i].startswith("WARNING:")
+                      or not lines[i].strip()):
+                    # LAMMPS interleaves warnings (and the odd blank
+                    # line) between thermo rows; the section continues
+                    i += 1
                 else:
+                    # terminator ("Loop time of ..."), a new section, or
+                    # a truncated final row from a killed run (wrong
+                    # width / cut mid-number) — either way the row is
+                    # not data
                     break
             if rows:
                 data = np.array(rows, dtype=np.float64)

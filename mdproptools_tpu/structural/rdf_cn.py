@@ -123,6 +123,54 @@ def _check_relations(relation_matrix, code_counts, n_codes, volumes, kind):
             raise ValueError("Error: Density is zero for mol type: " + str(b))
 
 
+def _total_density(code_counts, mass, num_types, volume):
+    """Per-frame total mass density in g/cm^3 — the reference's
+    ``_calc_props`` diagnostic (``rdf_cn.py:281-286``):
+    ``total_mass = sum_i mass[i] * count(code i+1)`` for i in
+    ``range(num_types)``, ``density = total_mass / V * CON_CONSTANT``.
+    Quirk reproduced: with recalculated per-molecule ids the reference
+    indexes the FIRST ``num_types`` altered-id codes with the
+    per-LAMMPS-type masses (its ``atom_types`` dict counts the id
+    column there, ``rdf_cn.py:263,281``)."""
+    mass = np.asarray(mass, np.float64).reshape(-1)
+    if mass.size < num_types:
+        raise ValueError(
+            f"mass must list one value per atom type: got {mass.size} "
+            f"masses for num_types={num_types}")
+    counts = np.asarray(code_counts, np.float64)[:num_types]
+    if counts.size < num_types or np.any(counts == 0):
+        # the reference dies with a KeyError on the missing count
+        # (``rdf_cn.py:281``); diverge to a clear ValueError
+        raise ValueError(
+            f"density diagnostic: no atoms with a code in 1..{num_types}"
+            " (atom types must be numbered contiguously from 1)")
+    total_mass = float((mass[:num_types] * counts).sum())
+    return total_mass / volume * CON_CONSTANT
+
+
+def _density_reporter(code_counts, mass, num_types):
+    """Returns ``report(lengths_b)`` logging each frame's total density
+    exactly as the reference prints it per frame (``rdf_cn.py:283-286``,
+    logger instead of print). The mass-consistency ValueError raises
+    eagerly (at entry-point call time) even when the logger is silent;
+    the per-frame loop costs nothing when INFO is not enabled."""
+    import logging
+
+    from mdproptools_tpu.utilities.tracing import logger
+
+    _total_density(code_counts, mass, num_types, 1.0)  # validate now
+
+    def report(lengths_b):
+        if not logger.isEnabledFor(logging.INFO):
+            return
+        for L in np.asarray(lengths_b, np.float64):
+            dens = _total_density(code_counts, mass, num_types,
+                                  float(np.prod(L)))
+            logger.info("Average density=%10.8f", dens)
+
+    return report
+
+
 def _shell_volumes(bin_size, num_bins):
     k = np.arange(num_bins, dtype=np.float64)
     return 4.0 / 3.0 * np.pi * bin_size**3 * ((k + 1) ** 3 - k**3)
@@ -345,6 +393,18 @@ def _make_block_runner(step_fn, out_shape, dtype, mesh=None,
     return run_block
 
 
+def _pad_rows(arr, extra):
+    """One-allocation pad: copy ``arr`` into a fresh buffer with
+    ``extra`` trailing copies of row 0 (``np.concatenate``+``np.repeat``
+    would allocate an intermediate per input). The fresh buffer still
+    pays this host's ~100x first-touch page-fault cost once, but only
+    once per trajectory (the trailing partial block), not per block."""
+    out = np.empty((arr.shape[0] + extra,) + arr.shape[1:], arr.dtype)
+    out[: arr.shape[0]] = arr
+    out[arr.shape[0]:] = arr[:1]
+    return out
+
+
 def _pad_block(pos_b, pc_b, len_b, n_pad_to, perm_b=None, target=0):
     """Pad a frame block to a multiple of the frames-mesh size with
     zero-weight copies of the first frame (equal shards requirement).
@@ -362,16 +422,12 @@ def _pad_block(pos_b, pc_b, len_b, n_pad_to, perm_b=None, target=0):
         tgt += n_pad_to - tgt % n_pad_to
     if tgt > nb:
         extra = tgt - nb
-        pos_b = np.concatenate(
-            [pos_b, np.repeat(pos_b[:1], extra, axis=0)])
+        pos_b = _pad_rows(pos_b, extra)
         if pc_b is not None:
-            pc_b = np.concatenate(
-                [pc_b, np.repeat(pc_b[:1], extra, axis=0)])
-        len_b = np.concatenate(
-            [len_b, np.repeat(len_b[:1], extra, axis=0)])
+            pc_b = _pad_rows(pc_b, extra)
+        len_b = _pad_rows(len_b, extra)
         if perm_b is not None:
-            perm_b = np.concatenate(
-                [perm_b, np.repeat(perm_b[:1], extra, axis=0)])
+            perm_b = _pad_rows(perm_b, extra)
         w = np.concatenate([w, np.zeros(extra)])
     return pos_b, pc_b, len_b, w, perm_b
 
@@ -452,8 +508,9 @@ def _scan_frame_mean(step_fn, out_shape, blocks, dtype, runners=None):
     an on-device running sum (``lax.scan`` over frame blocks from the
     ``blocks`` iterator of (pos_b, pos_cols_b|None, lengths_b) host
     arrays). Host/device memory stays O(block), independent of
-    trajectory length. jit caches one program per distinct block size,
-    of which there are at most two (FRAME_BLOCK and the remainder).
+    trajectory length. jit compiles exactly ONE program per stream: a
+    trailing partial block pads (zero-weight) up to the steady block
+    shape and reuses the compiled program (see ``_pad_block``).
 
     ``runners``: optional dict tied to the step's _STEP_CACHE entry;
     block runners are memoized there so repeat entry-point calls on the
@@ -875,6 +932,10 @@ class _RdfMeanStream:
             self._run_block, self._n_pad_to, self._perm_fn = \
                 self._runner_for(pol)
             self._cur_pol = pol
+            # the steady shape belongs to the runner: the new runner
+            # has no compiled programs yet, so pad to ITS natural
+            # multiple instead of carrying the old runner's shape over
+            self._steady = 0
         with stage("frame_block", start=self.T, frames=pos_b.shape[0]):
             nb = pos_b.shape[0]
             perm_b = None if self._perm_fn is None else self._perm_fn(pos_b)
@@ -1052,9 +1113,11 @@ def calc_atomic_rdf(
     volumes = lengths.prod(axis=1)
     code_counts = np.bincount(codes - 1, minlength=n_codes).astype(np.float64)
     _check_relations(relation_matrix, code_counts, n_codes, volumes, "atom")
+    report_density = _density_reporter(code_counts, mass, num_types)
 
     def pos_blocks():
         for blk in blocks():
+            report_density(blk.box_lengths)
             yield blk.cols(["x", "y", "z"]), None, blk.box_lengths
 
     rdf_full, rdf_part = _rdf_mean(
@@ -1091,6 +1154,7 @@ def calc_atomic_cn(
     code_counts = np.bincount(codes - 1, minlength=n_codes).astype(np.float64)
     _check_relations(relation_matrix, code_counts, n_codes,
                      lengths.prod(axis=1), "atom")
+    report_density = _density_reporter(code_counts, mass, num_types)
 
     r_cuts = np.asarray(r_cut, np.float64).reshape(-1)
     if r_cuts.size == 1:
@@ -1098,6 +1162,7 @@ def calc_atomic_cn(
 
     def pos_blocks():
         for blk in blocks():
+            report_density(blk.box_lengths)
             yield blk.cols(["x", "y", "z"]), None, blk.box_lengths
 
     cn = _cn_mean(
@@ -1138,9 +1203,13 @@ def calc_molecular_rdf(
     mol_counts = np.bincount(mol_codes - 1,
                              minlength=system.n_mol_types).astype(np.float64)
     _check_relations(relation_matrix, mol_counts, n_codes, volumes, "molecule")
+    # the reference's _calc_props here counts LAMMPS types (ref_df
+    # keeps "type", rdf_cn.py:718-721)
+    report_density = _density_reporter(atom_counts, mass, num_types)
 
     def pos_blocks():
         for i, blk in enumerate(blocks()):
+            report_density(blk.box_lengths)
             mp = (mol_pos0 if i == 0
                   else _mol_coms(blk, system, mass, dtype)[0])
             yield blk.cols(["x", "y", "z"]), mp, blk.box_lengths
@@ -1179,6 +1248,7 @@ def calc_molecular_cn(
     lengths = first.box_lengths
     atom_counts = np.bincount(types - 1, minlength=num_types).astype(np.float64)
     mol_pos0, mol_codes = _mol_coms(first, system, mass, dtype)
+    report_density = _density_reporter(atom_counts, mass, num_types)
 
     r_cuts = np.asarray(r_cut, np.float64).reshape(-1)
     if r_cuts.size == 1:
@@ -1186,6 +1256,7 @@ def calc_molecular_cn(
 
     def pos_blocks():
         for i, blk in enumerate(blocks()):
+            report_density(blk.box_lengths)
             mp = (mol_pos0 if i == 0
                   else _mol_coms(blk, system, mass, dtype)[0])
             yield blk.cols(["x", "y", "z"]), mp, blk.box_lengths
@@ -1216,7 +1287,14 @@ def calc_intermolecular_rdf(
     """COM-COM partial RDF (reference: ``rdf_cn.py:857-903``). Note: like
     the reference, self-pairs are *included* (its ``_rdf_mol_loop`` runs
     mol_data against itself without exclusion), so g(r->0) bins contain
-    the self count. Streamed ingestion (per-block segment-sum COMs)."""
+    the self count. Streamed ingestion (per-block segment-sum COMs).
+
+    Divergence: the per-frame density diagnostic the other entry points
+    log is skipped here — the reference's ``_calc_props`` call at
+    ``rdf_cn.py:877`` counts MOLECULE types but indexes them with
+    ``range(num_types)`` (LAMMPS atom types), a KeyError whenever
+    num_types exceeds the molecule-type count (the function is marked
+    "TODO: recheck" in the reference)."""
     dtype = resolve_dtype(precision)
     first, blocks = _open_stream(filename)
     system = System(num_mols, num_atoms_per_mol, mass=mass)

@@ -292,3 +292,28 @@ def test_get_msd_from_log(tmp_path):
         steps * constants.TIME_CONVERSION["real"],
     )
     assert "Temp" not in msd.columns
+
+
+def test_get_msd_from_log_realistic_restart_fixture():
+    """get_msd_from_log + calc_diff on the genuine LAMMPS-format restart
+    logs (compute msd columns planted with D = 1e-9 m^2/s): the msd
+    columns survive the banner/WARNING/truncated-row noise, concat
+    across the restart drops the duplicated row, and the Einstein fit
+    recovers the planted diffusivity."""
+    from pathlib import Path
+
+    fixtures = Path(__file__).parents[1] / "io" / "test_files"
+    d = Diffusion(timestep=1, units="real", outputs_dir=str(fixtures),
+                  diff_dir=str(fixtures))
+    msd = d.get_msd_from_log("log.mixture_*")
+    assert list(msd.columns) == ["c_msd[1]", "c_msd[2]", "c_msd[3]",
+                                 "c_msd[4]", "Time (s)"]
+    assert len(msd) == 52  # steps 0..51000 (dup dropped, truncated dropped)
+    diff_df = d.calc_diff(msd, dimension=3)
+    # c_msd[4] is the total msd: 6*D*t with D = 1e-9 m^2/s and 2% noise
+    d_total = diff_df.loc[diff_df.index[-1], "diffusion (m2/s)"]
+    assert d_total == pytest.approx(1e-9, rel=0.02)
+    # per-axis columns carry 2*D*t -> same D when dimension=1
+    diff_1d = d.calc_diff(msd[["c_msd[1]", "Time (s)"]], dimension=1)
+    assert diff_1d["diffusion (m2/s)"].iloc[0] == pytest.approx(1e-9,
+                                                                rel=0.03)

@@ -162,3 +162,29 @@ def test_fit_avg_visc_partial_zero_std_keeps_weighting(tmp_path):
     eta = v.fit_avg_visc(reps, plot=False)
     want = A * alpha * tau1 + A * (1 - alpha) * tau2
     assert abs(eta - want) / want < 0.05
+
+
+def test_calc_avg_visc_on_realistic_log_fixtures():
+    """calc_avg_visc on genuine LAMMPS-format replicate logs (banner,
+    PPPM setup, a WARNING interleaved inside replicate 2's thermo rows,
+    MPI timing footers): three replicates, shared Step grid, running
+    integrals must be positive and finite."""
+    from pathlib import Path
+
+    fixtures = Path(__file__).parents[1] / "io" / "test_files"
+    v = Viscosity("log.visc_*", cutoff_time=2000, volume=118949.58,
+                  temp=298.15, timestep=1, units="real",
+                  working_dir=str(fixtures))
+    visc_avg = v.calc_avg_visc()
+    assert len(visc_avg) == 3
+    for arr in visc_avg:
+        # 201 rows - 20 cutoff rows -> 181 samples, cumtrapz gives 180
+        assert arr.shape == (180,)
+        assert np.all(np.isfinite(arr))
+    # the fixture's P_ab is AR(1) with a ~5-sample correlation time, so
+    # the running GK integral plateaus positive by ~4 correlation times
+    # (the far tail is unbiased-ACF noise and may wander — that is why
+    # the reference fits a windowed double exponential, not eta(t_max))
+    plateaus = np.array([a[10:50].mean() for a in visc_avg])
+    assert (plateaus > 0).all()
+    assert plateaus.max() / plateaus.min() < 3.0

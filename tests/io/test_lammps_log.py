@@ -61,3 +61,64 @@ def test_mixed_sections(tmp_path):
     assert list(secs[1].columns) == ["Step", "CPU", "TotEng"]
     assert list(secs[2].columns) == ["Step", "Press", "Volume"]
     np.testing.assert_allclose(secs[2]["Volume"], [100.0, 101.0])
+
+
+# --------------------------------------------------------------------------
+# realistic fixtures: genuine LAMMPS 29Sep2021-format logs with banner,
+# PPPM/neighbor setup noise, MPI timing breakdowns, multi-run sections,
+# warnings interleaved between thermo rows, and a truncated final row
+# (killed run). The reference's own log.mixture_* fixtures are
+# unmaterialized git-LFS pointers, so these pin the formats pymatgen's
+# parser is supposed to handle (reference utilities/log.py:10-28).
+# --------------------------------------------------------------------------
+from pathlib import Path
+
+FIXTURES = Path(__file__).parent / "test_files"
+
+
+def test_realistic_log_two_run_sections():
+    secs = parse_lammps_log(str(FIXTURES / "log.twostage"))
+    assert len(secs) == 2
+    eq, prod = secs
+    assert list(eq.columns) == ["Step", "Temp", "Press", "PotEng",
+                                "KinEng", "TotEng", "Volume"]
+    assert list(prod.columns) == ["Step", "Temp", "Press", "Pxy", "Pxz",
+                                  "Pyz", "PotEng", "KinEng", "TotEng",
+                                  "Volume"]
+    # every thermo row survives the interleaved WARNING lines
+    np.testing.assert_array_equal(eq["Step"], np.arange(0, 10001, 1000))
+    np.testing.assert_array_equal(prod["Step"],
+                                  np.arange(10000, 35001, 1000))
+    # setup noise (box bounds, histograms, MPI breakdown) parsed as data
+    # would show up as extra sections or bogus rows
+    assert (eq["Volume"] == 118949.58).all()
+    assert abs(prod["Temp"].mean() - 298.15) < 3.0
+
+
+def test_realistic_log_single_production_section():
+    secs = parse_lammps_log(str(FIXTURES / "log.mixture_1"))
+    assert len(secs) == 1
+    df = secs[0]
+    np.testing.assert_array_equal(df["Step"], np.arange(0, 35001, 1000))
+    for c in ("Pxy", "Pxz", "Pyz"):
+        assert abs(df[c].mean()) < 25.0 and df[c].std() > 20.0
+
+
+def test_realistic_log_truncated_final_row_dropped():
+    secs = parse_lammps_log(str(FIXTURES / "log.mixture_2"))
+    assert len(secs) == 1
+    df = secs[0]
+    # the run was killed mid-write at step 52000: the partial row must
+    # be dropped, keeping 35000 (the restart's duplicated row) .. 51000
+    assert df["Step"].iloc[0] == 35000
+    assert df["Step"].iloc[-1] == 51000
+    assert df.notna().all().all()
+
+
+def test_realistic_log_restart_duplicate_row_is_byte_identical():
+    """The restart log's first thermo row repeats part 1's final row
+    (the concat_log duplicate-drop contract)."""
+    part1 = parse_lammps_log(str(FIXTURES / "log.mixture_1"))[0]
+    part2 = parse_lammps_log(str(FIXTURES / "log.mixture_2"))[0]
+    np.testing.assert_array_equal(part1.iloc[-1].to_numpy(),
+                                  part2.iloc[0].to_numpy())

@@ -276,3 +276,69 @@ def test_pad_block_targets_steady_shape():
     # no target, no mesh: unchanged
     out, _, _, w, _ = _pad_block(pos, None, lens, 1)
     assert out.shape[0] == 2 and w.sum() == 2
+
+
+def test_density_diagnostic_logged(frame0, tmp_path, caplog):
+    """The per-frame density report of the reference's _calc_props
+    (rdf_cn.py:281-286): total_mass = sum_i mass[i]*count(type i+1),
+    density = total_mass/V * CON_CONSTANT, logged once per frame."""
+    import logging
+
+    f, pos, types, lengths = frame0
+    counts = np.bincount(types - 1, minlength=NUM_TYPES)
+    vol = float(np.prod(lengths))
+    want = (
+        sum(MASS[i] * counts[i] for i in range(NUM_TYPES))
+        / vol * rdf_cn.CON_CONSTANT
+    )
+    # pin the bundled frame's density to the hand-derived value
+    got = rdf_cn._total_density(counts, MASS, NUM_TYPES, vol)
+    assert got == pytest.approx(want, rel=1e-12)
+    assert 0.5 < got < 3.0  # a liquid electrolyte in g/cm^3
+
+    caplog.set_level(logging.INFO, logger="mdproptools_tpu")
+    rdf_cn.calc_atomic_rdf(
+        5.0, 0.5, NUM_TYPES, MASS, [[8], [9]], f,
+        path_or_buff=str(tmp_path / "rdf.csv"), precision="strict",
+    )
+    lines = [r.getMessage() for r in caplog.records
+             if "Average density=" in r.getMessage()]
+    assert len(lines) == 1  # one frame -> one report
+    assert lines[0] == "Average density=%10.8f" % want
+
+
+def test_density_diagnostic_altered_ids_quirk(frame0):
+    """With recalculated per-molecule ids the reference indexes the
+    FIRST num_types altered-id codes with the per-LAMMPS-type masses
+    (its atom_types dict counts the id column, rdf_cn.py:263,281) —
+    quirk reproduced, so the value differs from the type-counts one."""
+    f, pos, types, lengths = frame0
+    ids = np.arange(1, pos.shape[0] + 1)
+    codes = altered_atom_types(ids, NUM_MOLS, NUM_ATOMS_PER_MOL)
+    code_counts = np.bincount(codes - 1, minlength=sum(NUM_ATOMS_PER_MOL))
+    vol = float(np.prod(lengths))
+    want = (
+        sum(MASS[i] * code_counts[i] for i in range(NUM_TYPES))
+        / vol * rdf_cn.CON_CONSTANT
+    )
+    got = rdf_cn._total_density(code_counts, MASS, NUM_TYPES, vol)
+    assert got == pytest.approx(want, rel=1e-12)
+    type_counts = np.bincount(types - 1, minlength=NUM_TYPES)
+    assert got != pytest.approx(
+        rdf_cn._total_density(type_counts, MASS, NUM_TYPES, vol), rel=1e-3)
+
+
+def test_density_mass_consistency_raises(frame0, tmp_path):
+    """Too few masses for num_types raises at entry-point call time
+    (the reference dies with an IndexError inside _calc_props)."""
+    f, pos, types, lengths = frame0
+    with pytest.raises(ValueError, match="mass must list one value"):
+        rdf_cn.calc_atomic_rdf(
+            5.0, 0.5, NUM_TYPES, MASS[:4], [[8], [9]], f,
+            path_or_buff=str(tmp_path / "x.csv"), precision="strict",
+        )
+    with pytest.raises(ValueError, match="mass must list one value"):
+        rdf_cn.calc_atomic_cn(
+            [3.0], 0.5, NUM_TYPES, MASS[:4], [[8], [9]], f,
+            path_or_buff=str(tmp_path / "y.csv"), precision="strict",
+        )

@@ -73,3 +73,26 @@ def test_calc_com_matches_groupby(mg_tfsi_dme_dir):
     mg_q = out.loc[3]["q"].mean()
     assert tfsi_q == pytest.approx(-1.0, abs=0.05)
     assert mg_q == pytest.approx(2.0, abs=0.05)
+
+
+def test_concat_log_realistic_restart_fixture():
+    """concat_log on genuine LAMMPS-format restart logs (banner, setup
+    noise, interleaved WARNINGs, part 2 killed mid-write): part 1's
+    duplicated last row drops, the step grid comes out monotone."""
+    from pathlib import Path
+
+    fixtures = Path(__file__).parents[1] / "io" / "test_files"
+    full = concat_log("log.mixture_*", working_dir=str(fixtures))
+    steps = full["Step"].to_numpy()
+    # 0..35000 from part 1 (last row dropped), 35000..51000 from part 2
+    # (row 0 is the duplicated restart row; the truncated 52000 row is
+    # dropped by the parser)
+    np.testing.assert_array_equal(steps, np.arange(0, 51001, 1000))
+    assert not full.isna().any().any()
+    assert list(full.columns) == ["Step", "Temp", "Press", "Pxy", "Pxz",
+                                  "Pyz", "PotEng", "KinEng", "TotEng",
+                                  "c_msd[1]", "c_msd[2]", "c_msd[3]",
+                                  "c_msd[4]", "Volume"]
+    # the msd columns are continuous across the restart boundary
+    msd = full["c_msd[4]"].to_numpy()
+    assert np.all(np.diff(msd) > 0)

@@ -294,7 +294,7 @@ def test_get_msd_from_log(tmp_path):
     assert "Temp" not in msd.columns
 
 
-def test_get_msd_from_log_realistic_restart_fixture():
+def test_get_msd_from_log_realistic_restart_fixture(tmp_path):
     """get_msd_from_log + calc_diff on the genuine LAMMPS-format restart
     logs (compute msd columns planted with D = 1e-9 m^2/s): the msd
     columns survive the banner/WARNING/truncated-row noise, concat
@@ -304,7 +304,7 @@ def test_get_msd_from_log_realistic_restart_fixture():
 
     fixtures = Path(__file__).parents[1] / "io" / "test_files"
     d = Diffusion(timestep=1, units="real", outputs_dir=str(fixtures),
-                  diff_dir=str(fixtures))
+                  diff_dir=str(tmp_path))
     msd = d.get_msd_from_log("log.mixture_*")
     assert list(msd.columns) == ["c_msd[1]", "c_msd[2]", "c_msd[3]",
                                  "c_msd[4]", "Time (s)"]

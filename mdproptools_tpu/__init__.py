@@ -32,5 +32,6 @@ del _tune
 
 from mdproptools_tpu import common, dynamical, io, ops, parallel, structural, utilities
 from mdproptools_tpu.pipeline import analyze
+from mdproptools_tpu.utilities.device import warm_device
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"

@@ -69,8 +69,10 @@ class Conductivity:
     # ------------------------------------------------------------------
     @staticmethod
     def correlate(a, b):
-        """Unbiased FFT cross-correlation (``conductivity.py:98-114``)."""
-        return np.asarray(acf_ops.correlate(jnp.asarray(a), jnp.asarray(b)))
+        """Unbiased FFT cross-correlation (``conductivity.py:98-114``).
+        ``ops.acf`` dispatches host vs device by size/dtype — do not
+        pre-upload the operands."""
+        return np.asarray(acf_ops.correlate(a, b))
 
     @staticmethod
     def detect_time_range(flux, tol):
@@ -170,9 +172,17 @@ class Conductivity:
     def correlate_charge_flux(self, flux):
         """All type-pair cross-correlations, summed over xyz; row i =
         sum_j corr(i, j); last row = grand total
-        (``conductivity.py:197-214``), as one batched device FFT."""
+        (``conductivity.py:197-214``), as one batched FFT.
+
+        The operands stay host-side in the precision-resolved dtype;
+        ``ops.acf`` routes the batch to host pocketfft when it is small
+        (the (3, K, K, T) correlation of a 10k-frame flux is ~1 MB —
+        the remote device path paid ~155 s of executable-load/fetch
+        latency for milliseconds of FFT, round-4 BASELINE.md:83-90) and
+        to the batched device FFT when it is large."""
         k = len(self.num_mols)
-        f = jnp.asarray(flux)  # (3, K, T)
+        f = np.asarray(flux, np.dtype(resolve_dtype(
+            getattr(self, "precision", "strict"))))
         a = f[:, :, None, :]  # (3, K, 1, T)
         b = f[:, None, :, :]  # (3, 1, K, T)
         corr = np.asarray(acf_ops.correlate(a, b))  # (3, K, K, T)

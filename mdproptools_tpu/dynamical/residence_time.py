@@ -213,8 +213,9 @@ class ResidenceTime:
                         sub = sblock[s:s + chunk].astype(np_dtype)
                         if eye_flat is not None:
                             sub *= ~eye_flat[s0 + s:s0 + s + chunk, None]
+                        # ops.acf dispatches host vs device by size/dtype
                         cov_sum += np.asarray(
-                            acf_ops.autocorrelate(jnp.asarray(sub)),
+                            acf_ops.autocorrelate(sub),
                             np.float64,
                         ).sum(axis=0)
                 corr_array = cov_sum / n_cols

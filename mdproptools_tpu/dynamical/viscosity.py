@@ -21,7 +21,6 @@ import glob
 import os
 import random
 
-import jax.numpy as jnp
 import numpy as np
 from scipy import optimize
 
@@ -71,7 +70,8 @@ class Viscosity:
         if method == "brute_force":
             return acf_ops.autocorrelate_brute(series)
         if method == "wkt":
-            return np.asarray(acf_ops.autocorrelate(jnp.asarray(series)))
+            # ops.acf dispatches host vs device by size/dtype
+            return np.asarray(acf_ops.autocorrelate(series))
         raise ValueError("Method string input not recognized")
 
     @staticmethod
@@ -82,8 +82,10 @@ class Viscosity:
         ) * tau2 * (1 - np.exp(-t / tau2))
 
     def calc_visc(self, acf, dt):
-        """eta(t) = V/(kB T) * cumtrapz(ACF) (``viscosity.py:139-153``)."""
-        integral = np.asarray(acf_ops.cumtrapz(jnp.asarray(acf), dt))
+        """eta(t) = V/(kB T) * cumtrapz(ACF) (``viscosity.py:139-153``).
+        ``ops.acf`` keeps small/f64 inputs on host — integrating a
+        just-host-computed ACF must not pay a device round trip."""
+        integral = np.asarray(acf_ops.cumtrapz(acf, dt))
         return self.volume / (constants.BOLTZMANN * self.temp) * integral
 
     def _calc_3d_visc(self, log_df):
@@ -97,7 +99,7 @@ class Viscosity:
                            for l in TENSOR_LABELS])
         if self.acf_method == "wkt":
             acf_data = np.asarray(
-                acf_ops.autocorrelate(jnp.asarray(series))
+                acf_ops.autocorrelate(series)
             ) * pconv2
         else:
             acf_data = np.stack(

@@ -15,20 +15,55 @@ with identical math:
 
 All functions broadcast over leading axes, so a whole (pairs x xyz x T)
 block of correlations runs as one batched FFT on device.
+
+Size-aware dispatch (host vs device)
+------------------------------------
+Two cases run on HOST NumPy (pocketfft) instead of the accelerator:
+
+1. float64 inputs on an accelerator backend: f64 FFTs need complex128,
+   which TPUs do not support.
+2. fast-mode (f32) batches below ``HOST_FFT_MAX_ELEMS`` padded points on
+   a NON-cpu backend: the correlation series of the GK/viscosity/
+   residence pipelines are tiny (a (3, K, T) flux is ~1 MB at 10k
+   frames) and pocketfft computes them in milliseconds, while the
+   remote-tunnel device path pays executable loads plus ~0.25 s of
+   fetch latency per call — measured ~155 s of the 200.8 s cache-served
+   GK leg at the north-star shape was exactly this dispatch overhead
+   (round-4 BASELINE.md). Above the threshold the batched device FFT
+   wins (one upload, massively parallel butterflies).
+
+The host route computes in double (pocketfft promotes f32) and casts
+back, so fast-mode host results are slightly CLOSER to strict-f64 than
+the device c64 path; both are within the documented fast-mode envelope.
+Tracers (calls under jit) always take the device path.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Padded-point threshold for the fast-mode host route: ~1e7 c128 points
+# cost pocketfft ~100-200 ms on this host — on par with a single warm
+# device round trip through the tunnel, far below a cold one.
+HOST_FFT_MAX_ELEMS = 10_000_000
 
-def _needs_host_fft(x) -> bool:
-    """float64 FFTs need complex128, which TPUs do not support; strict-
-    precision correlations therefore run on the host (NumPy) when the
-    active backend is an accelerator. float32 stays on device."""
-    return (
-        np.dtype(x.dtype) == np.float64 and jax.default_backend() != "cpu"
-    )
+# test hook: "host" | "device" | None (size-aware auto)
+_FORCE_DISPATCH = None
+
+
+def _route_host(x, batch_elems) -> bool:
+    """True when this correlation should run on host NumPy. ``x`` is
+    one input operand; ``batch_elems`` the total PADDED output points
+    (broadcast batch x fft length)."""
+    if isinstance(x, jax.core.Tracer):
+        return False  # under jit: stay in the traced program
+    if _FORCE_DISPATCH is not None:
+        return _FORCE_DISPATCH == "host"
+    if jax.default_backend() == "cpu":
+        return False  # CPU jnp == host already; keep one code path
+    if np.dtype(x.dtype) == np.float64:
+        return True  # no complex128 on TPU
+    return batch_elems <= HOST_FFT_MAX_ELEMS
 
 
 def _fft_len(n: int) -> int:
@@ -44,6 +79,11 @@ def _fft_len(n: int) -> int:
     return 1 << (2 * n - 1).bit_length()
 
 
+def _batch_elems(a, b, m):
+    shape = np.broadcast_shapes(np.shape(a)[:-1], np.shape(b)[:-1])
+    return int(np.prod(shape, dtype=np.int64)) * m
+
+
 def correlate(a, b):
     """Unbiased FFT cross-correlation over the last axis.
 
@@ -51,13 +91,14 @@ def correlate(a, b):
     """
     n = a.shape[-1]
     m = _fft_len(n)
-    if _needs_host_fft(a):
+    if _route_host(a, _batch_elems(a, b, m)):
+        dt = np.dtype(a.dtype)
         a = np.asarray(a)
         b = np.asarray(b)
         fa = np.fft.fft(a, n=m, axis=-1)
         fb = np.fft.fft(b, n=m, axis=-1)
         c = np.fft.ifft(fa * np.conj(fb), axis=-1).real[..., :n]
-        return c / (n - np.arange(n))
+        return (c / (n - np.arange(n))).astype(dt, copy=False)
     fa = jnp.fft.fft(a, n=m, axis=-1)
     fb = jnp.fft.fft(b, n=m, axis=-1)
     c = jnp.fft.ifft(fa * jnp.conj(fb), axis=-1).real[..., :n]
@@ -69,11 +110,12 @@ def autocorrelate(x):
     """Unbiased FFT autocorrelation over the last axis (WKT)."""
     n = x.shape[-1]
     m = _fft_len(n)
-    if _needs_host_fft(x):
+    if _route_host(x, _batch_elems(x, x, m)):
+        dt = np.dtype(x.dtype)
         x = np.asarray(x)
         f = np.fft.fft(x, n=m, axis=-1)
         c = np.fft.ifft(f * np.conj(f), axis=-1).real[..., :n]
-        return c / (n - np.arange(n))
+        return (c / (n - np.arange(n))).astype(dt, copy=False)
     f = jnp.fft.fft(x, n=m, axis=-1)
     c = jnp.fft.ifft(f * jnp.conj(f), axis=-1).real[..., :n]
     norm = (n - jnp.arange(n)).astype(c.dtype)
@@ -103,6 +145,12 @@ def autocorrelate_brute(x):
 def cumtrapz(y, dx):
     """Cumulative trapezoid over the last axis, N-1 points (the reference
     integrates correlation functions with scipy ``cumulative_trapezoid``,
-    ``conductivity.py:231``, ``viscosity.py:151``)."""
+    ``conductivity.py:231``, ``viscosity.py:151``). Same size-aware
+    host/device dispatch as the correlators — integrating a
+    just-host-computed ACF must not pay a device round trip."""
+    if _route_host(y, int(np.prod(np.shape(y), dtype=np.int64))):
+        y = np.asarray(y)
+        avg = (y[..., 1:] + y[..., :-1]) * (dx / 2)
+        return np.cumsum(avg, axis=-1)
     avg = (y[..., 1:] + y[..., :-1]) * (dx / 2)
     return jnp.cumsum(avg, axis=-1)

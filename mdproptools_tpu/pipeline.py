@@ -146,6 +146,18 @@ def analyze(
                            "vx", "vy", "vz"]
                if c in wanted and c in available]
 
+    if rdf is not None or residence_time is not None \
+            or hydration is not None:
+        # these legs dispatch to the device: start the one-per-process
+        # background tunnel warmup now so its ~140-175 s first-fetch
+        # latency overlaps the first blocks' parse/cache read
+        # (utilities/device.py; no-op on cpu). Host-only composites
+        # (MSD/GK folds) must NOT warm — a process that never fetches
+        # can reach teardown with the warmup still in flight.
+        from mdproptools_tpu.utilities.device import warm_device
+
+        warm_device()
+
     blocks = prefetch_iter(
         iter_trajectory_blocks(pattern, columns=columns), depth=2)
 

@@ -61,8 +61,17 @@ def _open_stream(filename, columns=("id", "type", "x", "y", "z")):
     """Open a dump pattern as a bounded-memory block stream. Returns
     (first_block, blocks_fn) where blocks_fn() iterates ALL blocks
     including the first — the first block supplies frame-0 metadata
-    (codes, counts, consistency checks, kernel-policy shapes)."""
+    (codes, counts, consistency checks, kernel-policy shapes).
+
+    Every rdf_cn entry point dispatches to the device, so the
+    one-per-process background tunnel warmup starts here — its
+    ~140-175 s first-fetch latency then overlaps the parse/cache read
+    instead of serializing in front of the first block's dispatch
+    (utilities/device.py; no-op on cpu)."""
     from mdproptools_tpu.io.lammps_dump import prefetch_iter
+    from mdproptools_tpu.utilities.device import warm_device
+
+    warm_device()
 
     it = prefetch_iter(
         iter_trajectory_blocks(filename, columns=list(columns),

@@ -127,8 +127,10 @@ def pair_u_df(dxh, dxl, dyh, dyl, dzh, dzl, inv_h, inv_l):
     pzl = pze + (jnp.float32(2.0) * dzh * dzl + dzl * dzl)
     rh, rl = df_add(pxh, pxl, pyh, pyl)
     rh, rl = df_add(rh, rl, pzh, pzl)
-    # sqrt: f32 seed + one compensated Newton step (doubles precision)
-    s0 = jnp.sqrt(rh)
+    # sqrt: f32 seed + one compensated Newton step (doubles precision);
+    # max guards the NaN from compensation leaving rh a hair negative
+    # at rsq ~ 0 (self pairs, later masked)
+    s0 = jnp.sqrt(jnp.maximum(rh, jnp.float32(0.0)))
     th, te = sq_exact(s0)
     dh, dl = df_add(rh, rl, -th, -te)
     denom = jnp.float32(2.0) * s0

@@ -62,6 +62,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mdproptools_tpu.ops import dfloat
 from mdproptools_tpu.ops.pairs import LANE, TypeLayout
 from mdproptools_tpu.ops.pbc import minimum_image
 
@@ -676,9 +677,10 @@ def _rel_kernel(
     col_off_ref,  # (1,) i32 GLOBAL group offset of this column block
     #               (prefetched, not static, so column blocks share one
     #               compiled kernel)
-    rows_ref,  # (1, 5, LANE) f32: x/y/z/idxf/typef
-    colpack_ref,  # (n_groups, 5, KC_REL * F) f32, VMEM-resident
-    len_ref,  # (1, 3) f32 (SMEM)
+    rows_ref,  # (1, 5, LANE) f32: x/y/z/idxf/typef — exact_bins packs
+    #            (1, 8, LANE): x/y/z/xl/yl/zl/idxf/typef
+    colpack_ref,  # (n_groups, 5|8, KC_REL * F) f32, VMEM-resident
+    len_ref,  # (1, 3) f32 (SMEM); exact_bins: (2, 3) hi/lo rows
     out_ref,  # (M_pad, F) f32 persistent
     *,
     relations,  # static tuple of 0-based (a, b)
@@ -698,6 +700,9 @@ def _rel_kernel(
     lane_split=False,  # G=2 column pairing (see REL_LANE_SPLIT)
     s_blk=0,  # odd-parity m-row block offset (lane_split only)
     ablate_walk=False,  # see REL_ABLATE_WALK (profiling only)
+    exact_bins=False,  # double-f32 bin/cutoff evaluation (ops.dfloat):
+    #                    positions arrive as (hi, lo) f32 pairs and every
+    #                    pair bins exactly as the float64 reference loop
 ):
     i = pl.program_id(0)
     if inline_groups is None:
@@ -733,8 +738,19 @@ def _rel_kernel(
         xr = rows_ref[0, 0, :].reshape(1, LANE).T  # (LANE, 1)
         yr = rows_ref[0, 1, :].reshape(1, LANE).T
         zr = rows_ref[0, 2, :].reshape(1, LANE).T
-        idxr = rows_ref[0, 3, :].reshape(1, LANE).T
-        tyr = rows_ref[0, 4, :].reshape(1, LANE).T
+        ia, ta = (6, 7) if exact_bins else (3, 4)
+        idxr = rows_ref[0, ia, :].reshape(1, LANE).T
+        tyr = rows_ref[0, ta, :].reshape(1, LANE).T
+        if exact_bins:
+            xrl = rows_ref[0, 3, :].reshape(1, LANE).T
+            yrl = rows_ref[0, 4, :].reshape(1, LANE).T
+            zrl = rows_ref[0, 5, :].reshape(1, LANE).T
+            lxl = len_ref[1, 0]
+            lyl = len_ref[1, 1]
+            lzl = len_ref[1, 2]
+            inv_h, inv_l = dfloat.const_hi_lo(1.0 / np.float64(bin_size))
+            rc2_h, rc2_l = dfloat.const_hi_lo(
+                np.float64(r_cut) * np.float64(r_cut))
         rc2 = jnp.float32(r_cut * r_cut)
         inv_ddr = jnp.float32(1.0 / bin_size)
 
@@ -756,15 +772,29 @@ def _rel_kernel(
             xc = colpack_ref[jw, 0, pl.ds(off, F)]  # (F,)
             yc = colpack_ref[jw, 1, pl.ds(off, F)]
             zc = colpack_ref[jw, 2, pl.ds(off, F)]
-            idxc = colpack_ref[jw, 3, pl.ds(off, F)]
-            tyc = colpack_ref[jw, 4, pl.ds(off, F)]
+            idxc = colpack_ref[jw, ia, pl.ds(off, F)]
+            tyc = colpack_ref[jw, ta, pl.ds(off, F)]
 
-            dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
-            dy = wrap(yr - yc[None, :], ly)
-            dz = wrap(zr - zc[None, :], lz)
-            rsq = dx * dx + dy * dy + dz * dz
-            b = (jnp.sqrt(rsq) * inv_ddr).astype(jnp.int32)
-            valid = (rsq < rc2) & (b < n_bins)
+            if exact_bins:
+                xcl = colpack_ref[jw, 3, pl.ds(off, F)]
+                ycl = colpack_ref[jw, 4, pl.ds(off, F)]
+                zcl = colpack_ref[jw, 5, pl.ds(off, F)]
+                b, within = dfloat.pair_bins_df(
+                    xr, xrl, yr, yrl, zr, zrl,
+                    xc[None, :], xcl[None, :], yc[None, :], ycl[None, :],
+                    zc[None, :], zcl[None, :],
+                    lx, lxl, ly, lyl, lz, lzl,
+                    jnp.float32(inv_h), jnp.float32(inv_l),
+                    jnp.float32(rc2_h), jnp.float32(rc2_l),
+                )
+                valid = within & (b < n_bins)
+            else:
+                dx = wrap(xr - xc[None, :], lx)  # (LANE, F)
+                dy = wrap(yr - yc[None, :], ly)
+                dz = wrap(zr - zc[None, :], lz)
+                rsq = dx * dx + dy * dy + dz * dz
+                b = (jnp.sqrt(rsq) * inv_ddr).astype(jnp.int32)
+                valid = (rsq < rc2) & (b < n_bins)
             valid &= (idxr >= 0) & (idxc[None, :] >= 0)
             if triangle:
                 # cyclic-half rule: d == 0 (jj == this chunk's GLOBAL
@@ -988,6 +1018,9 @@ def pair_hist_relations_pallas(
     compact_cols: bool = True,
     row_tiles=None,
     dot_int8=None,  # None -> module REL_DOT_INT8
+    pos_r_lo=None,  # (n_pad_r, 3) f32 position residuals -> exact bins
+    pos_c_lo=None,  # (n_pad_c, 3) f32 (same array as rows in self case)
+    lengths_lo=None,  # (3,) f32 box-length residuals (exact bins)
 ):
     """Relation-projected ordered-pair histogram on mixed-type tiles.
 
@@ -1066,6 +1099,18 @@ def pair_hist_relations_pallas(
     pos_c = pos_c.astype(f32)
     idx_r = jnp.asarray(idx_r, jnp.int32)
     idx_c = jnp.asarray(idx_c, jnp.int32)
+    exact_bins = pos_r_lo is not None
+    if exact_bins:
+        if pos_c_lo is None or lengths_lo is None:
+            raise ValueError(
+                "exact bins need pos_c_lo and lengths_lo alongside "
+                "pos_r_lo")
+        pos_r_lo = pos_r_lo.astype(f32)
+        pos_c_lo = pos_c_lo.astype(f32)
+        len2 = jnp.stack([jnp.asarray(lengths, f32),
+                          jnp.asarray(lengths_lo, f32)])  # (2, 3)
+    else:
+        len2 = jnp.asarray(lengths, f32).reshape(1, 3)
     lengths = jnp.asarray(lengths, f32)
 
     # pad to a KC_REL multiple; when the system spans several column
@@ -1080,12 +1125,16 @@ def pair_hist_relations_pallas(
     pos_c3 = pos_c.reshape(n_tiles, F, 3)
     idx_c3 = idx_c.reshape(n_tiles, F)
     tyc = jnp.asarray(types_c, f32).reshape(n_tiles, F)
+    pos_c3_lo = (pos_c_lo.reshape(n_tiles, F, 3) if exact_bins else None)
     if pad_tiles:
         pos_c3 = jnp.concatenate(
             [pos_c3, jnp.zeros((pad_tiles, F, 3), f32)])
         idx_c3 = jnp.concatenate(
             [idx_c3, jnp.full((pad_tiles, F), -1, jnp.int32)])
         tyc = jnp.concatenate([tyc, jnp.full((pad_tiles, F), -1.0, f32)])
+        if exact_bins:
+            pos_c3_lo = jnp.concatenate(
+                [pos_c3_lo, jnp.zeros((pad_tiles, F, 3), f32)])
     n_tiles_p = n_tiles + pad_tiles
     n_groups = n_tiles_p // KC_REL
 
@@ -1095,20 +1144,32 @@ def pair_hist_relations_pallas(
         pos_c3, idx_c3, lengths, float(r_cut), triangle, kc=KC_REL,
         row_tiles=row_tiles)
 
-    rowpack = jnp.stack([
+    row_parts = [
         pos_r[:, 0].reshape(n_chunks, LANE),
         pos_r[:, 1].reshape(n_chunks, LANE),
         pos_r[:, 2].reshape(n_chunks, LANE),
-        idx_r.astype(f32).reshape(n_chunks, LANE),
-        jnp.asarray(types_r, f32).reshape(n_chunks, LANE),
-    ], axis=1)  # (n_chunks, 5, LANE)
-    colpack = jnp.stack([
+    ]
+    col_parts = [
         pos_c3[:, :, 0].reshape(n_groups, KC_REL * F),
         pos_c3[:, :, 1].reshape(n_groups, KC_REL * F),
         pos_c3[:, :, 2].reshape(n_groups, KC_REL * F),
+    ]
+    if exact_bins:
+        row_parts += [pos_r_lo[:, a].reshape(n_chunks, LANE)
+                      for a in range(3)]
+        col_parts += [pos_c3_lo[:, :, a].reshape(n_groups, KC_REL * F)
+                      for a in range(3)]
+    row_parts += [
+        idx_r.astype(f32).reshape(n_chunks, LANE),
+        jnp.asarray(types_r, f32).reshape(n_chunks, LANE),
+    ]
+    col_parts += [
         idx_c3.astype(f32).reshape(n_groups, KC_REL * F),
         tyc.reshape(n_groups, KC_REL * F),
-    ], axis=1)  # (n_groups, 5, KC_REL*F)
+    ]
+    n_pack = 8 if exact_bins else 5
+    rowpack = jnp.stack(row_parts, axis=1)  # (n_chunks, n_pack, LANE)
+    colpack = jnp.stack(col_parts, axis=1)  # (n_groups, n_pack, KC_REL*F)
 
     # compaction permutes the j/lo values through a bf16 matmul; bf16 is
     # integer-exact below 257, so auto-disable for huge relation sets
@@ -1138,6 +1199,7 @@ def pair_hist_relations_pallas(
         lane_split=bool(lane_split),
         s_blk=int(s_blk),
         ablate_walk=bool(REL_ABLATE_WALK),
+        exact_bins=bool(exact_bins),
     )
     def _call(mask_b, rt_b, co_b, rowpack_b, colpack_b):
         ng = colpack_b.shape[0]
@@ -1157,9 +1219,9 @@ def pair_hist_relations_pallas(
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 5, LANE), idx_row,
+                pl.BlockSpec((1, n_pack, LANE), idx_row,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ng, 5, KC_REL * F), idx_const,
+                pl.BlockSpec((ng, n_pack, KC_REL * F), idx_const,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -1171,8 +1233,7 @@ def pair_hist_relations_pallas(
             out_shape=jax.ShapeDtypeStruct((m_pad, F), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(mask_b, rt_b, co_b, rowpack_b, colpack_b,
-          lengths.reshape(1, 3))
+        )(mask_b, rt_b, co_b, rowpack_b, colpack_b, len2)
 
     rb = _row_block(min(n_groups, COL_GROUP_BLOCK))
     out = None

@@ -491,3 +491,77 @@ def test_cn_kernel_matches_pair_count_within(exclude_self, triangle):
         exclude_self, triangle=triangle, interpret=True,
         counts_r=counts))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("triangle", [False, True])
+def test_relation_kernel_exact_bins_matches_f64_oracle(triangle):
+    """exact_bins: the kernel fed (hi, lo) split f64 positions must
+    produce COUNTS bit-equal to the float64 reference loop, including
+    pairs planted within 1e-9..1e-7 of bin edges and of r_cut (where
+    the plain f32 kernel demonstrably flips bins)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import oracle
+
+    from mdproptools_tpu.ops import dfloat
+    from mdproptools_tpu.ops.pairs_pallas import pair_hist_relations_pallas
+
+    rng = np.random.default_rng(19)
+    box = 14.3
+    r_cut, bin_size, n_bins = 6.0, 0.1, 60
+    base = rng.uniform(0, box, (600, 3))
+    planted = []
+    for m in range(1, 60, 3):
+        for d in (1e-9, -1e-9, 1e-7, -1e-7):
+            o = rng.uniform(2, 12, 3)
+            u = rng.normal(size=3)
+            u /= np.linalg.norm(u)
+            planted += [o, o + u * (m * bin_size + d)]
+    for d in (1e-9, -1e-9):  # r_cut edge
+        o = rng.uniform(2, 8, 3)
+        u = rng.normal(size=3)
+        u /= np.linalg.norm(u)
+        planted += [o, o + u * (r_cut + d)]
+    pos = np.concatenate([base, np.array(planted)])
+    n = pos.shape[0]
+    codes = rng.integers(1, 4, n)
+    L64 = np.full(3, box)
+    relations = np.array([[1, 2], [3, 3], [1, 1]])
+    counts = np.bincount(codes - 1, minlength=3)
+
+    wfull, wrels = oracle.rdf_loop(pos, codes, L64, r_cut, bin_size,
+                                   [(int(a), int(b)) for a, b in relations])
+
+    n_pad = -(-n // 128) * 128
+    L32 = jnp.asarray(L64, jnp.float32)
+    pm = pair_ops.device_sort_global(
+        jnp.asarray(pos, jnp.float32), n, n_pad, L32,
+        pair_ops.pick_ncell(n))
+    perm = np.asarray(pm)
+    pr64 = np.where(perm[:, None] >= 0, pos[np.maximum(perm, 0)], 0.0)
+    hi, lo = dfloat.split_hi_lo(pr64)
+    Lh, Ll = dfloat.split_hi_lo(L64)
+    codes0 = jnp.asarray(codes - 1, jnp.float32)
+    ty = jnp.where(pm >= 0, codes0[jnp.maximum(pm, 0)], -1.0)
+
+    gfull, grels = pair_hist_relations_pallas(
+        jnp.asarray(hi), pm, ty, jnp.asarray(hi), pm, ty,
+        relations - 1, jnp.asarray(Lh), bin_size, n_bins, r_cut,
+        exclude_self=True, with_full=True, triangle=triangle,
+        interpret=True, counts_r=counts,
+        pos_r_lo=jnp.asarray(lo), pos_c_lo=jnp.asarray(lo),
+        lengths_lo=jnp.asarray(Ll),
+    )
+    np.testing.assert_array_equal(np.asarray(gfull), wfull)
+    np.testing.assert_array_equal(np.asarray(grels), wrels)
+
+    # vacuity check: the plain f32 kernel must NOT match on this input
+    g32full, _ = pair_hist_relations_pallas(
+        jnp.asarray(hi), pm, ty, jnp.asarray(hi), pm, ty,
+        relations - 1, L32, bin_size, n_bins, r_cut,
+        exclude_self=True, with_full=True, triangle=triangle,
+        interpret=True, counts_r=counts,
+    )
+    assert np.abs(np.asarray(g32full) - wfull).sum() > 0

@@ -612,18 +612,75 @@ def _make_normalizer(relation_matrix, code_counts_rows, code_counts_cols,
     return normalize
 
 
+def _make_host_normalizer(relation_matrix, code_counts_rows,
+                          code_counts_cols, n_rows_total, with_full,
+                          shell):
+    """float64 host twin of ``_make_normalizer`` for the exact-bins
+    path: expression-for-expression identical (same operand order), so
+    normalizing the kernel's exact integer counts here is bit-equal to
+    strict mode's on-device f64 normalization."""
+
+    def normalize(rows_counts, L):
+        # rows_counts: (nrows, n_bins) float64 integer counts; L: (3,)
+        V = L[0] * L[1] * L[2]
+        out = np.empty_like(rows_counts)
+        base = 0
+        if with_full:
+            rho = n_rows_total / V
+            out[0] = rows_counts[0] / (n_rows_total * rho * shell)
+            base = 1
+        for r, (a, b) in enumerate(relation_matrix):
+            n_a = float(code_counts_rows[int(a) - 1])
+            cnt_b = float(code_counts_cols[int(b) - 1])
+            rho_b = cnt_b / V
+            out[base + r] = rows_counts[base + r] / (n_a * rho_b * shell)
+        return out
+
+    return normalize
+
+
+def _make_exact_block_runner(step_fn):
+    """jitted frame-block program for the exact-bins path: scans
+    ``step_fn(p_hi, p_lo, L_hi, L_lo, pm)`` over the block and returns
+    the PER-FRAME raw count rows (B, nrows, n_bins) — normalization and
+    frame averaging happen on host in float64 (zero-weight pad frames
+    are dropped there). Single-device only; the mesh paths keep the f32
+    pipeline."""
+
+    def scan_frames(ph_b, pl_b, lh_b, ll_b, perm_b):
+        _trace_log.append("exact")
+
+        def body(carry, xs):
+            ph, plo, lh, ll, pm = xs
+            return carry, step_fn(ph, plo, lh, ll, pm)
+
+        _, ys = jax.lax.scan(body, 0, (ph_b, pl_b, lh_b, ll_b, perm_b))
+        return ys
+
+    return jax.jit(scan_frames)
+
+
 def _make_rdf_step(
     codes, n_codes, n_atoms_rows, lengths, bin_size, n_bins, r_cut,
     relation_matrix, code_counts_rows, code_counts_cols, exclude_self,
     with_full, dtype, n_atoms_cols=None, codes_cols=None,
     n_codes_cols=None, spatial_sort="auto", policy=None,
-    external_perm=False,
+    external_perm=False, exact_bins=False,
 ):
     """Build the per-frame RDF step function once (layouts, kernel and
     sort policy, normalization constants) so the sweep layer can reuse
     ONE compiled block program across many same-system trajectories.
     Returns (step, nrows) where step(pos, pos_cols, lengths) -> the
     normalized per-frame rows and nrows = R + (1 if with_full).
+
+    ``exact_bins`` (rel-kernel self case with ``external_perm`` only):
+    the step becomes ``step(p_hi, p_lo, L_hi, L_lo, pm)`` -> RAW
+    per-frame count rows (nrows, n_bins): positions arrive split into
+    (hi, lo) f32 pairs and the kernel bins every pair in double-f32
+    arithmetic (``ops.dfloat``), bit-equal to the float64 reference
+    loop; normalization then happens on host in float64
+    (``_make_host_normalizer``), making fast mode's g(r) IDENTICAL to
+    strict mode's.
 
     ``external_perm`` (rel-kernel self case only): the step takes a
     fourth (n_pad,) int32 argument — a host-computed spatial
@@ -683,6 +740,30 @@ def _make_rdf_step(
         raise ValueError(
             "external_perm is only meaningful for the rel-kernel self "
             "case (one sorted side)")
+    if exact_bins:
+        if not (external_perm and use_rel and self_case and use_pallas):
+            raise ValueError(
+                "exact_bins requires the host-perm rel-kernel self case")
+        from mdproptools_tpu.ops.pairs_pallas import (
+            pair_hist_relations_pallas,
+        )
+
+        def step_exact(p_hi, p_lo, L_h, L_l, pm):
+            pr = pair_ops.gather_padded_perm(p_hi, pm)
+            prl = pair_ops.gather_padded_perm(p_lo, pm)
+            ty = jnp.where(pm >= 0, codes0_r[jnp.maximum(pm, 0)], -1.0)
+            full, rels = pair_hist_relations_pallas(
+                pr, pm, ty, pr, pm, ty, relations0, L_h, bin_size,
+                n_bins, r_cut, exclude_self=exclude_self,
+                with_full=with_full, triangle=triangle,
+                counts_r=code_counts_rows, interpret=interpret,
+                pos_r_lo=prl, pos_c_lo=prl, lengths_lo=L_l,
+            )
+            return rels if full is None \
+                else jnp.concatenate([full[None], rels])
+
+        nrows = relation_matrix.shape[0] + (1 if with_full else 0)
+        return step_exact, nrows
 
     def step(p, pc, L, pm_ext=None):
         sdtype = p.dtype
@@ -757,6 +838,7 @@ def _make_rdf_mean_stream(
     pos, codes, n_codes, lengths, bin_size, n_bins, r_cut, relation_matrix,
     code_counts_rows, code_counts_cols, exclude_self, with_full, dtype,
     pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort="auto",
+    exact_bins="auto",
 ):
     """Configure a ``_RdfMeanStream`` (policy closure + cached runners)
     for a system whose shapes/codes come from ``pos``/first block —
@@ -770,6 +852,14 @@ def _make_rdf_mean_stream(
     the block policy selects the relation kernel (self case), the block
     runs through the frame+row-sharded runner
     (``parallel.mesh.make_sharded_relations_runner``).
+
+    ``exact_bins``: "auto" (default) upgrades the fast-mode (f32)
+    single-device rel-kernel self path to double-f32 exact binning +
+    float64 host normalization (``ops.dfloat``; bit-equal to strict
+    mode at near-fast cost); True forces it (raising where
+    unsupported); False keeps the plain f32 pipeline (the documented
+    ~1e-4 bin-edge envelope). Mesh-sharded, molecular/cross and
+    type-block-policy paths keep f32 regardless of "auto".
     """
     self_case = pos_cols is None
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -799,18 +889,41 @@ def _make_rdf_mean_stream(
         jax.default_backend(),
     )
 
+    def perm_fn_for():
+        n_at = int(pos.shape[1])
+        n_pad_r = -(-n_at // pair_ops.LANE) * pair_ops.LANE
+
+        def perm_fn(pos_b):
+            pos_b = np.asarray(pos_b)
+            return np.stack([
+                pair_ops.host_sort_orb(pos_b[t], n_at, n_pad_r)
+                for t in range(pos_b.shape[0])])
+
+        return perm_fn
+
     def runner_for(pol):
-        """(run_block, n_pad_to, perm_fn) for a policy, memoized via
-        _STEP_CACHE. ``perm_fn`` (host-ORB fast path) maps a host
-        (B, N, 3) position block to (B, n_pad) int32 permutations the
-        runner scans alongside the frames; None when the policy's step
-        sorts on device (sharded runner, non-rel kernels)."""
+        """(run_block, n_pad_to, perm_fn, exact_norm) for a policy,
+        memoized via _STEP_CACHE. ``perm_fn`` (host-ORB fast path) maps
+        a host (B, N, 3) position block to (B, n_pad) int32
+        permutations the runner scans alongside the frames; None when
+        the policy's step sorts on device (sharded runner, non-rel
+        kernels). ``exact_norm`` is the float64 host normalizer of the
+        exact-bins path (the runner then returns per-frame raw counts);
+        None selects the standard normalized-on-device pipeline."""
         use_rel = pol[0]
         sharded_rel = (mesh_2d and use_rel and self_case and exclude_self
                        and use_pallas)
         host_perm = use_rel and self_case and not sharded_rel
+        use_exact = (exact_bins is not False and host_perm and use_pallas
+                     and dtype == jnp.float32
+                     and _frames_only(mesh) is None)
+        if exact_bins is True and not use_exact:
+            raise ValueError(
+                "exact_bins=True requires the fast-mode single-device "
+                "rel-kernel self path (TPU/interpret, f32, no mesh, "
+                "policy selecting the relation kernel)")
         step, nrows, runners = _step_cache_get(
-            base_key + pol + (host_perm,),
+            base_key + pol + (host_perm, use_exact),
             lambda: _make_rdf_step(
                 codes, n_codes, pos.shape[1], lengths, bin_size, n_bins,
                 r_cut, relation_matrix, code_counts_rows, code_counts_cols,
@@ -818,9 +931,19 @@ def _make_rdf_mean_stream(
                 n_atoms_cols=None if pos_cols is None else pos_cols.shape[1],
                 codes_cols=codes_cols, n_codes_cols=n_codes_cols,
                 spatial_sort=spatial_sort, policy=pol,
-                external_perm=host_perm,
+                external_perm=host_perm, exact_bins=use_exact,
             ),
         )
+        if use_exact:
+            rkey = ("exact", out_shape)
+            run = runners.get(rkey)
+            if run is None:
+                run = _make_exact_block_runner(step)
+                runners[rkey] = run
+            exact_norm = _make_host_normalizer(
+                relation_matrix, code_counts_rows, code_counts_cols,
+                n_atoms_pol, with_full, _shell_volumes(bin_size, n_bins))
+            return run, 1, perm_fn_for(), exact_norm
         if sharded_rel:
             rkey = ("rel-sharded", out_shape, jnp.dtype(dtype).name,
                     _mesh_key(mesh))
@@ -843,7 +966,7 @@ def _make_rdf_mean_stream(
                     return inner(pb, len_b, w_b)
 
                 runners[rkey] = run
-            return run, mesh.devices.shape[0], None
+            return run, mesh.devices.shape[0], None, None
         fmesh = _frames_only(mesh)
         rkey = ("frames", out_shape, jnp.dtype(dtype).name,
                 _mesh_key(fmesh))
@@ -852,18 +975,8 @@ def _make_rdf_mean_stream(
             run = _make_block_runner(step, out_shape, dtype, mesh=fmesh,
                                      with_perm=host_perm)
             runners[rkey] = run
-        perm_fn = None
-        if host_perm:
-            n_at = int(pos.shape[1])
-            n_pad_r = -(-n_at // pair_ops.LANE) * pair_ops.LANE
-
-            def perm_fn(pos_b):
-                pos_b = np.asarray(pos_b)
-                return np.stack([
-                    pair_ops.host_sort_orb(pos_b[t], n_at, n_pad_r)
-                    for t in range(pos_b.shape[0])])
-
-        return run, 1 if fmesh is None else fmesh.size, perm_fn
+        perm_fn = perm_fn_for() if host_perm else None
+        return run, 1 if fmesh is None else fmesh.size, perm_fn, None
 
     return _RdfMeanStream(
         out_shape, dtype, runner_for,
@@ -878,7 +991,7 @@ def _rdf_mean(
     pos, codes, n_codes, lengths, bin_size, n_bins, r_cut, relation_matrix,
     code_counts_rows, code_counts_cols, exclude_self, with_full, dtype,
     pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort="auto",
-    blocks=None,
+    blocks=None, exact_bins="auto",
 ):
     """Frame-averaged normalized RDF: returns (g_full or None, g_part).
 
@@ -893,6 +1006,7 @@ def _rdf_mean(
         relation_matrix, code_counts_rows, code_counts_cols, exclude_self,
         with_full, dtype, pos_cols=pos_cols, codes_cols=codes_cols,
         n_codes_cols=n_codes_cols, spatial_sort=spatial_sort,
+        exact_bins=exact_bins,
     )
     if blocks is None:
         blocks = _array_blocks(pos, lengths, pos_cols)
@@ -923,6 +1037,7 @@ class _RdfMeanStream:
         self._run_block = None
         self._n_pad_to = 1
         self._perm_fn = None
+        self._exact_norm = None  # f64 host normalizer (exact-bins path)
         self._steady = 0  # steady block shape; partial blocks pad to it
 
     def fold(self, pos_b, pc_b, len_b):
@@ -938,8 +1053,8 @@ class _RdfMeanStream:
                     "rdf kernel policy switched at frame %d: %s -> %s "
                     "(box volume drift; kept_est=%.2f)",
                     self.T, self._cur_pol, pol, kept_est)
-            self._run_block, self._n_pad_to, self._perm_fn = \
-                self._runner_for(pol)
+            (self._run_block, self._n_pad_to, self._perm_fn,
+             self._exact_norm) = self._runner_for(pol)
             self._cur_pol = pol
             # the steady shape belongs to the runner: the new runner
             # has no compiled programs yet, so pad to ITS natural
@@ -952,6 +1067,25 @@ class _RdfMeanStream:
                 pos_b, pc_b, len_b, self._n_pad_to, perm_b,
                 target=self._steady)
             self._steady = max(self._steady, pos_b.shape[0])
+            if self._exact_norm is not None:
+                # exact-bins path: ship (hi, lo) split positions and box
+                # lengths; the runner returns PER-FRAME raw counts which
+                # the f64 host normalizer folds when this block's fetch
+                # comes due (double buffering preserved)
+                pos64 = np.asarray(pos_b, np.float64)
+                len64 = np.array(len_b, np.float64)
+                ph = pos64.astype(np.float32)
+                plo = (pos64 - ph).astype(np.float32)
+                lh = len64.astype(np.float32)
+                llo = (len64 - lh).astype(np.float32)
+                cur = self._run_block(
+                    jnp.asarray(ph), jnp.asarray(plo), jnp.asarray(lh),
+                    jnp.asarray(llo), jnp.asarray(perm_b))
+                self._flush()
+                self._pending = ("exact", cur, len64, w,
+                                 self._exact_norm)
+                self.T += nb
+                return
             pb = jnp.asarray(pos_b, self.dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, self.dtype)
             args = (pb, pcb, jnp.asarray(len_b, self.dtype),
@@ -959,15 +1093,25 @@ class _RdfMeanStream:
             if perm_b is not None:
                 args += (jnp.asarray(perm_b),)
             cur = self._run_block(*args)
-            if self._pending is not None:
-                self.total += np.asarray(self._pending, np.float64)
-            self._pending = cur
+            self._flush()
+            self._pending = ("sum", cur)
             self.T += nb
 
+    def _flush(self):
+        if self._pending is None:
+            return
+        if self._pending[0] == "sum":
+            self.total += np.asarray(self._pending[1], np.float64)
+        else:
+            _, cur, len64, w, norm = self._pending
+            ys = np.asarray(cur, np.float64)  # (B, nrows, n_bins) counts
+            for t in range(ys.shape[0]):
+                if w[t] > 0:
+                    self.total += norm(ys[t], len64[t])
+        self._pending = None
+
     def result(self):
-        if self._pending is not None:
-            self.total += np.asarray(self._pending, np.float64)
-            self._pending = None
+        self._flush()
         if self.T == 0:
             raise ValueError("no frames to average")
         out = self.total / self.T
@@ -1098,6 +1242,7 @@ def calc_atomic_rdf(
     save_mode=True,
     precision="fast",
     spatial_sort="auto",
+    exact_bins="auto",
 ):
     """Full and partial atom-atom RDF averaged over all frames matching
     ``filename`` (reference: ``rdf_cn.py:385-530``).
@@ -1108,6 +1253,15 @@ def calc_atomic_rdf(
     O(N^2) -> O(N * n_near) lever for large systems); True/False force
     it. Results are bit-identical either way (integer counts, order-
     independent).
+
+    ``exact_bins``: "auto" (default) upgrades the fast-mode TPU rel-
+    kernel path to double-f32 exact binning + float64 host
+    normalization (``ops.dfloat``) — ``precision="fast"`` then returns
+    the SAME g(r) as ``precision="strict"`` (bit-equal, each pair
+    binned exactly as the reference's float64 loop) at near-fast cost.
+    False keeps the plain f32 pipeline (the documented ~1e-4 bin-edge
+    envelope); True forces exact and raises where unsupported (the
+    mesh-sharded and type-block-policy paths stay f32 under "auto").
 
     Ingestion is streamed in FRAME_BLOCK-frame blocks (host memory
     O(block x N), any trajectory length); the density consistency check
@@ -1134,6 +1288,7 @@ def calc_atomic_rdf(
         num_bins, float(r_cut), relation_matrix, code_counts, code_counts,
         exclude_self=True, with_full=True, dtype=dtype,
         spatial_sort=spatial_sort, blocks=pos_blocks(),
+        exact_bins=exact_bins,
     )
     return _save_rdf(_radii(bin_size, num_bins), relation_matrix, path_or_buff,
                      save_mode, rdf_part, rdf_full)

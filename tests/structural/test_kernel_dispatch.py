@@ -34,15 +34,48 @@ def _run(pos, codes, lengths, counts, **kw):
 
 @pytest.mark.parametrize("forced", ["rel", "type-block"])
 def test_forced_kernel_matches_scatter(system, forced, monkeypatch):
+    # exact_bins=False: the plain-f32 rel kernel is bit-equal to the
+    # f32 scatter path (the exact-bins upgrade is pinned separately
+    # by test_forced_rel_exact_bins_matches_strict)
     pos, codes, lengths, counts = system
     want_full, want_rels = _run(pos, codes, lengths, counts)
     monkeypatch.setattr(rdf_cn, "_FORCE_KERNEL", forced)
     got_full, got_rels = _run(pos, codes, lengths, counts,
-                              spatial_sort=True)
+                              spatial_sort=True, exact_bins=False)
     np.testing.assert_array_equal(np.asarray(got_full),
                                   np.asarray(want_full))
     np.testing.assert_array_equal(np.asarray(got_rels),
                                   np.asarray(want_rels))
+
+
+def test_forced_rel_exact_bins_matches_strict(system, monkeypatch):
+    """The flagship exactness contract: fast mode through the exact-bins
+    rel path returns BIT-EQUAL g(r) to strict (float64) mode — every
+    pair binned as the f64 reference loop, normalization in f64 on
+    host."""
+    pos, codes, lengths, counts = system
+    strict_full, strict_rels = rdf_cn._rdf_mean(
+        pos, codes, 3, lengths, 0.1, 128, 6.0, RELS, counts, counts,
+        exclude_self=True, with_full=True, dtype=jnp.float64)
+    monkeypatch.setattr(rdf_cn, "_FORCE_KERNEL", "rel")
+    got_full, got_rels = _run(pos, codes, lengths, counts,
+                              spatial_sort=True, exact_bins=True)
+    np.testing.assert_array_equal(np.asarray(got_full),
+                                  np.asarray(strict_full))
+    np.testing.assert_array_equal(np.asarray(got_rels),
+                                  np.asarray(strict_rels))
+    # the plain f32 path does NOT reach strict bit-equality (vacuity)
+    got32_full, _ = _run(pos, codes, lengths, counts,
+                         spatial_sort=True, exact_bins=False)
+    assert np.any(np.asarray(got32_full) != np.asarray(strict_full))
+
+
+def test_exact_bins_true_raises_off_path(system):
+    """exact_bins=True must refuse paths it cannot make exact (here:
+    the scatter policy on the CPU backend)."""
+    pos, codes, lengths, counts = system
+    with pytest.raises(ValueError, match="exact_bins"):
+        _run(pos, codes, lengths, counts, exact_bins=True)
 
 
 def test_forced_rel_cross_layout_matches_scatter(system, monkeypatch):
@@ -144,7 +177,10 @@ def test_npt_policy_switch_streaming(monkeypatch):
     monkeypatch.setattr(rdf_cn, "_FORCE_KERNEL", "auto")
     monkeypatch.setattr(rdf_cn, "_rdf_policy", fake_policy)
     rdf_cn._policy_log.clear()
-    got_full, got_rels = run()
+    # exact_bins=False: this test pins that the POLICY SWITCH itself is
+    # exact across the f32 kernels (the rel block would otherwise run
+    # the exact-bins upgrade and differ from scatter at ~1e-7)
+    got_full, got_rels = run(exact_bins=False)
     assert [p[0] for p in rdf_cn._policy_log] == [True, False], (
         "policy did not follow the shrinking box across blocks")
     np.testing.assert_array_equal(np.asarray(got_full),

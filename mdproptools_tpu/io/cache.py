@@ -18,9 +18,32 @@ reads exactly 3/13 of the bytes — the reference has no equivalent
 Layout (one directory per cached pattern)::
 
     <cache_dir>/meta.json                 columns, timesteps, blocks,
-                                          box bounds, fingerprint
-    <cache_dir>/c_<name>.<block>.npy      (B, N) float64, one per
-                                          column per frame block
+                                          box bounds, fingerprint,
+                                          per-column-block encodings
+    <cache_dir>/c_<name>.<block>.npy      (B, N), one per column per
+                                          frame block: int32
+                                          decimal-quantized when
+                                          losslessly possible, else the
+                                          build float dtype
+
+Decimal-exact quantization (format v2): LAMMPS dumps print every value
+with limited decimal precision, so float columns store at HALF the
+float64 bytes while reconstructing BIT-EXACTLY — verified per block at
+build time, with a float64 fallback wherever neither encoding holds:
+
+- fixed-decimal columns (``%f``-style: coordinates, charges, masses)
+  sit on an exact 10^-p grid -> int32 numerators plus p. Decode is one
+  correctly-rounded f64 division of the exact numerator by the exact
+  10^p, returning the nearest-f64 of the same rational the text parser
+  rounded.
+- significant-digit columns (``%g``-style: velocities, forces,
+  unwrapped coords — 6 significant digits, decimal count varies with
+  magnitude) -> f32 plus the digit count s. f32 carries 7.2 decimal
+  digits, so 6-digit decimals embed injectively; decode rounds the f32
+  value back to s significant digits in f64 (vectorized floor-log10 /
+  scale / round), recovering the original f64 exactly. The build
+  verifies the round trip with the SAME expression decode uses, so any
+  edge case (power-of-ten boundaries, subnormals) simply falls back.
 
 Consumers never import this directly: ``iter_trajectory_blocks(...,
 cache="auto")`` (the default) transparently serves from a valid cache
@@ -42,7 +65,51 @@ from typing import Iterator, List, Optional, Sequence
 import numpy as np
 
 CACHE_DIRNAME = ".mdpt_cache"
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
+_MAX_DECIMALS = 9  # 10^9 < 2^31: the densest grid an int32 can carry
+
+
+def _try_quantize(a, p_hint=None):
+    """(int32 array, p) when ``a`` is exactly an int32 grid of 10^-p
+    (verified by bit-exact round trip), else (None, None). ``p_hint``
+    short-circuits the search — dump columns keep one precision, so
+    after block 0 the hint almost always hits on the first try."""
+    order = ([p_hint] + [p for p in range(_MAX_DECIMALS + 1)
+                         if p != p_hint]
+             if p_hint is not None else range(_MAX_DECIMALS + 1))
+    for p in order:
+        scale = np.float64(10.0) ** p
+        q = np.round(a * scale)
+        with np.errstate(over="ignore", invalid="ignore"):
+            if not np.all(np.abs(q) < 2147483648.0):
+                continue
+        if np.array_equal(q / scale, a):
+            return q.astype(np.int32), p
+    return None, None
+
+
+def _sig_round(v, s):
+    """Round every value of float64 ``v`` to ``s`` significant decimal
+    digits (vectorized). Decode and build-time verification share this
+    exact expression, so its edge behavior cancels."""
+    az = np.abs(v)
+    e = np.floor(np.log10(np.where(az > 0, az, 1.0)))
+    scale = np.power(10.0, (s - 1) - e)
+    return np.where(az > 0, np.round(v * scale) / scale, v)
+
+
+def _try_sigfig(a, s_hint=None):
+    """(float32 array, s) when ``a`` is a grid of s-significant-digit
+    decimals recoverable from their f32 roundings (verified), else
+    (None, None)."""
+    v32 = np.ascontiguousarray(a, np.float32)
+    v = v32.astype(np.float64)
+    order = ([s_hint] + [s for s in (6, 7) if s != s_hint]
+             if s_hint is not None else (6, 7))
+    for s in order:
+        if np.array_equal(_sig_round(v, s), a):
+            return v32, s
+    return None, None
 
 
 def _pattern_files(pattern: str) -> List[str]:
@@ -82,7 +149,10 @@ def build_cache(
     """Parse ``pattern`` once and write the columnar cache. Returns the
     cache directory. ``columns=None`` caches every numeric dump column
     (any later column subset is then servable); a narrowed list makes a
-    smaller, purpose-built cache."""
+    smaller, purpose-built cache. Blocks sitting on an exact decimal
+    grid store as int32 (half the float64 bytes, bit-exact round trip —
+    see the module docstring); ``dtype`` is the fallback for blocks
+    that do not."""
     from mdproptools_tpu.io.lammps_dump import iter_trajectory_blocks
 
     files = _pattern_files(pattern)
@@ -93,15 +163,35 @@ def build_cache(
     cached_cols = None
     timesteps_all = []
     bounds_all = []
+    encodings: dict = {}  # column -> [p per block, None = float dtype]
+    p_hints: dict = {}
     periodic = (True, True, True)
     for i, blk in enumerate(iter_trajectory_blocks(
             pattern, columns=list(columns) if columns else None,
             block_frames=block_frames, cache=False)):
         if cached_cols is None:
             cached_cols = list(blk.columns)
+            encodings = {name: [] for name in cached_cols}
         for j, name in enumerate(cached_cols):
-            np.save(os.path.join(cache_dir, f"c_{name}.{i}.npy"),
-                    np.ascontiguousarray(blk.data[:, :, j], dtype))
+            col = blk.data[:, :, j]
+            hint = p_hints.get(name)
+            enc = None
+            out = None
+            if not (isinstance(hint, str)):
+                q, p = _try_quantize(col, hint)
+                if q is not None:
+                    p_hints[name] = enc = p
+                    out = q
+            if out is None:
+                s_hint = int(hint[1:]) if isinstance(hint, str) else None
+                g, s = _try_sigfig(col, s_hint)
+                if g is not None:
+                    p_hints[name] = enc = f"g{s}"
+                    out = g
+            if out is None:
+                out = np.ascontiguousarray(col, dtype)
+            encodings[name].append(enc)
+            np.save(os.path.join(cache_dir, f"c_{name}.{i}.npy"), out)
         blocks_meta.append({"frames": int(blk.n_frames),
                             "atoms": int(blk.n_atoms)})
         timesteps_all.append(blk.timesteps.tolist())
@@ -121,6 +211,7 @@ def build_cache(
         "timesteps": timesteps_all,
         "box_bounds": bounds_all,
         "periodic": list(periodic),
+        "encodings": encodings,
     }
     with open(os.path.join(cache_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -188,6 +279,8 @@ def iter_cached_blocks(
     n_out = 0
     emitted = 0
 
+    encodings = meta.get("encodings", {})
+
     def emit():
         nonlocal out_ts, out_bounds, spans, n_out
         n_atoms = meta["blocks"][spans[0][0]]["atoms"]
@@ -198,7 +291,13 @@ def iter_cached_blocks(
                 arr = np.load(
                     os.path.join(cache_dir, f"c_{name}.{bi}.npy"),
                     mmap_mode="r")
-                data[row:row + (hi - lo), :, j] = arr[lo:hi]
+                seg = data[row:row + (hi - lo), :, j]
+                seg[...] = arr[lo:hi]  # int32/f32 -> f64 cast is exact
+                enc = (encodings.get(name) or [None] * (bi + 1))[bi]
+                if isinstance(enc, str):  # f"g{s}": s-significant-digit
+                    seg[...] = _sig_round(seg, int(enc[1:]))
+                elif enc:  # int p: exact numerator / exact 10^p
+                    np.divide(seg, np.float64(10.0) ** enc, out=seg)
             row += hi - lo
         traj = Trajectory(
             np.asarray(out_ts, np.int64),

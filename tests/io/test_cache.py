@@ -129,3 +129,49 @@ def test_default_cache_dir_location(data_copy):
     d = default_cache_dir(data_copy)
     assert ".mdpt_cache" in d
     assert d.startswith(os.path.dirname(sorted(glob.glob(data_copy))[0]))
+
+
+def test_decimal_quantization_engages_and_halves_bytes(data_copy):
+    """The bundled dump columns sit on fixed decimal grids, so the v2
+    cache stores them int32 (half the f64 bytes) and the meta records
+    the per-block exponents; the roundtrip tests above already pin
+    bit-exactness."""
+    cache_dir = build_cache(data_copy,
+                            columns=["id", "type", "x", "q", "vx"])
+    meta = load_meta(data_copy)
+    assert meta is not None and meta["version"] == 2
+    enc = meta["encodings"]
+    # integer-valued columns quantize at p=0; fixed-decimal columns at
+    # their printed precision; %g-printed columns (velocities) store
+    # f32 + significant-digit count
+    assert all(p == 0 for p in enc["id"])
+    assert all(p == 0 for p in enc["type"])
+    assert all(p is not None and p > 0 for p in enc["x"])
+    assert all(p is not None for p in enc["q"])
+    assert all(isinstance(p, str) and p.startswith("g")
+               for p in enc["vx"])
+    for name in ("id", "x", "q"):
+        arr = np.load(os.path.join(cache_dir, f"c_{name}.0.npy"))
+        assert arr.dtype == np.int32
+    arr = np.load(os.path.join(cache_dir, "c_vx.0.npy"))
+    assert arr.dtype == np.float32
+
+
+def test_quantization_falls_back_for_irrational_columns(tmp_path):
+    """A column that is NOT on a decimal grid (synthetic irrational
+    velocities) must store in the fallback float dtype and still round-
+    trip bit-exactly."""
+    from mdproptools_tpu.io.cache import _try_quantize
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(4, 100)) * np.pi
+    q, p = _try_quantize(a)
+    assert q is None and p is None
+    # huge magnitudes exceed int32 even on a grid
+    b = np.round(rng.normal(size=(4, 100)) * 1e12)
+    q, p = _try_quantize(b)
+    assert q is None
+    # and a genuine grid quantizes with the hint fast path
+    c = np.round(rng.normal(size=(4, 100)) * 1e5) / 1e5
+    q, p = _try_quantize(c, p_hint=5)
+    assert p == 5 and np.array_equal(q / 10.0**5, c)

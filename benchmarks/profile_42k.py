@@ -19,13 +19,19 @@ split directly with stage ablations, all steady-state two-length deltas
              the candidate optimization (a stale ORB permutation is
              legal: the keep mask is recomputed from current positions,
              so results stay exact — only cull efficiency drifts)
-  prewalk    staleperm with REL_ABLATE_WALK: every kernel stage up to
-             and including column compaction runs, the column dot walks
-             are skipped -> isolates the MXU walk share
+  prewalk    staleperm with REL_ABLATE_LEVEL=1: every kernel stage up
+             to and including column compaction runs, the column dot
+             walks are skipped -> isolates the MXU walk share
+  valid      REL_ABLATE_LEVEL=2: stop after the pair-validity mask
+             (pair math runs; relation build + compaction skipped)
+  loads      REL_ABLATE_LEVEL=3: stop after the column VMEM loads
+             (the per-subtile fixed cost: loop trip + ctz + reads)
 
 Derived:  sort = full - staleperm (cross-check vs direct `sort`)
           mxu_walk = staleperm - prewalk
-          vpu+fixed+dispatch+gather+cull+normalize = prewalk
+          relation build + compaction = prewalk - valid
+          pair math = valid - loads
+          fixed-per-subtile + XLA glue = loads
 
 Writes ONE json: benchmarks/profile_42k.json.
 """
@@ -191,14 +197,16 @@ def main():
         stages[name] = round(ms, 1)
         print(f"  {name:12s} {ms:8.1f}", flush=True)
 
-    # prewalk: stale-perm pipeline with the column-dot walks ablated
-    pp.REL_ABLATE_WALK = True
-    try:
-        ms = steady(make_runner(body_staleperm)) * 1e3
-    finally:
-        pp.REL_ABLATE_WALK = False
-    stages["prewalk"] = round(ms, 1)
-    print(f"  {'prewalk':12s} {ms:8.1f}", flush=True)
+    # graded in-kernel ablations of the stale-perm pipeline (see the
+    # module docstring): 1 = pre-walk, 2 = pair math only, 3 = loads
+    for name, level in [("prewalk", 1), ("valid", 2), ("loads", 3)]:
+        pp.REL_ABLATE_LEVEL = level
+        try:
+            ms = steady(make_runner(body_staleperm)) * 1e3
+        finally:
+            pp.REL_ABLATE_LEVEL = 0
+        stages[name] = round(ms, 1)
+        print(f"  {name:12s} {ms:8.1f}", flush=True)
 
     derived = {
         "orb_sort_in_context_ms": round(
@@ -207,6 +215,10 @@ def main():
         "mxu_column_walk_ms": round(
             stages["staleperm"] - stages["prewalk"], 1),
         "non_walk_kernel_plus_glue_ms": stages["prewalk"],
+        "relation_build_plus_compaction_ms": round(
+            stages["prewalk"] - stages["valid"], 1),
+        "pair_math_ms": round(stages["valid"] - stages["loads"], 1),
+        "fixed_per_subtile_plus_xla_glue_ms": stages["loads"],
     }
     out["stages_ms_per_frame"] = stages
     out["derived_ms_per_frame"] = derived

@@ -13,6 +13,9 @@ best-of-3 per side with a noise guard — see
 ``mdproptools_tpu.utilities.benchmarking.steady_state_seconds_per_frame``.
 
 Run: python benchmarks/scaling_bench.py   (JAX_PLATFORMS as shipped)
+     python benchmarks/scaling_bench.py strict   (one strict-f64 row at
+     the 42k headline scale — the precision/speed trade measured, not
+     adjectivized; merges a "strict_row" into scaling.json)
 """
 
 import json
@@ -113,5 +116,78 @@ def main():
     print("wrote", os.path.join(HERE, "scaling.json"))
 
 
+def main_strict():
+    """One strict-f64 row at the 42k headline scale (VERDICT r4 task 8):
+    precision="strict" resolves to float64 (x64 on), which on TPU means
+    EMULATED f64 through the XLA chunked pair path (the Pallas kernel is
+    f32-only by policy). Expensive by construction — the point is a
+    measured number next to the fast row instead of an adjective. Note
+    fast mode's exact-bins path already returns bit-equal g(r) at fast
+    cost; strict exists as the reference-semantics oracle mode."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(HERE), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mdproptools_tpu.io.lammps_dump import read_trajectory
+    from mdproptools_tpu.ops.precision import resolve_dtype
+    from mdproptools_tpu.structural import rdf_cn
+
+    dtype = resolve_dtype("strict")  # enables x64 BEFORE tracing
+    traj = read_trajectory(DATA, columns=["id", "type", "x", "y", "z"])
+    codes1 = traj.col("type")[0].astype(np.int64)
+    pos1 = traj.cols(["x", "y", "z"])[0]
+    L1 = traj.box_lengths[0]
+    reps = (2, 2, 1)
+    shifts = [(i, j, k) for i in range(reps[0])
+              for j in range(reps[1]) for k in range(reps[2])]
+    pos = np.concatenate([pos1 + np.array(s) * L1 for s in shifts])
+    codes = np.tile(codes1, len(shifts))
+    L = L1 * np.array(reps)
+    counts = np.bincount(codes - 1, minlength=9).astype(np.float64)
+
+    def run(T):
+        posT = np.broadcast_to(pos, (T,) + pos.shape).copy()
+        lenT = np.broadcast_to(L, (T, 3)).copy()
+        return rdf_cn._rdf_mean(
+            posT, codes, 9, lenT, 0.05, 400, 20.0, RELATIONS,
+            counts, counts, exclude_self=True, with_full=True,
+            dtype=dtype,
+        )
+
+    t0 = time.time()
+    g_full, _ = run(1)
+    first_s = time.time() - t0  # includes the strict-path compile
+    t0 = time.time()
+    g3, _ = run(3)
+    steady_ms = (time.time() - t0) / 3 * 1e3
+    assert abs(float(g_full[-1]) - 1.0) < 0.05
+    row = {
+        "atoms": int(len(codes)),
+        "precision": "strict (float64, emulated on TPU, XLA pair path)",
+        "ms_per_frame": round(steady_ms, 1),
+        "first_frame_s_with_compile": round(first_s, 1),
+        "vs_fast_ms_per_frame": None,  # filled from the fast row below
+        "unix_time": int(time.time()),
+    }
+    path = os.path.join(HERE, "scaling.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            data = json.load(fh)
+        for r in data.get("rows", []):
+            if r["atoms"] == row["atoms"]:
+                row["vs_fast_ms_per_frame"] = r["ms_per_frame"]
+    data["strict_row"] = row
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(json.dumps(row))
+    print("wrote", path)
+
+
 if __name__ == "__main__":
-    main()
+    if "strict" in sys.argv[1:]:
+        main_strict()
+    else:
+        main()

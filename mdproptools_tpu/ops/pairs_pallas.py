@@ -662,11 +662,29 @@ REL_ABLATE_WALK = False  # PROFILING ONLY: skip the column-walk dot
 #                          wall share from the per-subtile VPU/fixed
 #                          work — outputs are garbage, never use outside
 #                          benchmarks/profile_42k.py.
+REL_ABLATE_LEVEL = 0  # PROFILING ONLY: graded early exits inside each
+#                       kept subtile (finer than REL_ABLATE_WALK, which
+#                       is level 1). 0 = off; 1 = stop after column
+#                       compaction (everything but the MXU walk);
+#                       2 = stop after the pair-validity mask (skips the
+#                       relation/joint-row build and compaction);
+#                       3 = stop after the column loads (skips the pair
+#                       math too — the per-subtile fixed cost: loop
+#                       trip, ctz, VMEM column reads). Consecutive
+#                       deltas isolate pair math, relation+compaction,
+#                       and fixed cost. Outputs are garbage.
 
 KC_REL = 32  # column tiles per grid program (relation kernel)
-C_GROUP_REL = 64  # independent column dots per roll step (swept 16/32/64
-#                   on v5e with the ORB layout at 42k/84k atoms:
-#                   528/489/487 and 1244/1148/1137 ms/frame)
+C_GROUP_REL = 32  # independent column dots per roll step. The original
+#                   16/32/64 sweep (pre-compaction: 528/489/487 ms/frame
+#                   at 42k) picked 64; with column compaction + the
+#                   main+tail walk the mean kept-subtile active-column
+#                   count (~54) never fills a 64-wide main trip, so
+#                   everything ran through the 8-wide tail. Re-swept
+#                   round 5 on a fixed-permutation interleaved harness
+#                   (benchmarks/glue_ab.json, min-of-rounds): 42k
+#                   kernel-only ms/frame f32 64/48/32 = 157.9/155.1/
+#                   152.7, exact 176.8/175.6/171.4 -> 32.
 
 
 def _rel_kernel(
@@ -699,7 +717,7 @@ def _rel_kernel(
     inline_groups=None,
     lane_split=False,  # G=2 column pairing (see REL_LANE_SPLIT)
     s_blk=0,  # odd-parity m-row block offset (lane_split only)
-    ablate_walk=False,  # see REL_ABLATE_WALK (profiling only)
+    ablate_level=0,  # see REL_ABLATE_LEVEL (profiling only)
     exact_bins=False,  # double-f32 bin/cutoff evaluation (ops.dfloat):
     #                    positions arrive as (hi, lo) f32 pairs and every
     #                    pair bins exactly as the float64 reference loop
@@ -775,6 +793,13 @@ def _rel_kernel(
             idxc = colpack_ref[jw, ia, pl.ds(off, F)]
             tyc = colpack_ref[jw, ta, pl.ds(off, F)]
 
+            if ablate_level == 3:
+                # profiling: consume the column loads only — the
+                # per-subtile fixed cost (loop trip + ctz + VMEM reads)
+                out_ref[...] = (out_ref[...]
+                                + (xc + yc + zc + idxc + tyc)[None, :])
+                return w & (w - 1)
+
             if exact_bins:
                 xcl = colpack_ref[jw, 3, pl.ds(off, F)]
                 ycl = colpack_ref[jw, 4, pl.ds(off, F)]
@@ -803,6 +828,13 @@ def _rel_kernel(
                     jnp.int32, (LANE, F), 0)) | (jj != row_tiles_ref[i])
             if exclude_self:
                 valid &= idxr != idxc[None, :]
+
+            if ablate_level == 2:
+                # profiling: consume the pair math + validity mask,
+                # skip the relation/joint-row build and compaction
+                out_ref[...] = (out_ref[...]
+                                + valid[:m_pad, :].astype(jnp.float32))
+                return w & (w - 1)
 
             hi = jax.lax.div(b, jnp.int32(lane_w))
             lo_t = b - hi * jnp.int32(lane_w)
@@ -936,7 +968,7 @@ def _rel_kernel(
             else:
                 n_grp = F // c_group
                 n_tail = None
-            if ablate_walk:
+            if ablate_level == 1:
                 # profiling: consume the pre-walk arrays (so nothing
                 # above is dead-code-eliminated) without running the
                 # column dot loops; m_pad <= LANE always holds
@@ -1198,7 +1230,8 @@ def pair_hist_relations_pallas(
         tail_walk=bool(REL_TAIL_WALK),
         lane_split=bool(lane_split),
         s_blk=int(s_blk),
-        ablate_walk=bool(REL_ABLATE_WALK),
+        ablate_level=(int(REL_ABLATE_LEVEL) if REL_ABLATE_LEVEL
+                      else (1 if REL_ABLATE_WALK else 0)),
         exact_bins=bool(exact_bins),
     )
     def _call(mask_b, rt_b, co_b, rowpack_b, colpack_b):

@@ -345,10 +345,105 @@ def release_probe(n_uploads: int = 24):
     print(json.dumps({k: v for k, v in row.items() if k != "samples"}))
 
 
+def mitigate_probe(n_uploads: int = 16):
+    """Round-5 follow-up to ``release_probe`` (which showed 43.2 MB of
+    host RSS retained per 44.3 MB upload, not released by del/gc/
+    clear_caches/time, even when the SAME host buffer is re-uploaded):
+    probe candidate mitigations for the axon client's per-transfer
+    retention.
+
+      delete     consume then explicitly ``.delete()`` the device array
+      chunk1m    upload each block as 1 MiB pieces + on-device concat
+                 (tests an inline-literal / staging size threshold)
+      chunk128k  same with 128 KiB pieces
+      jitarg     pass the np array straight to a jitted function
+                 (committed-arg upload path) instead of device_put
+
+    Merges an ``upload_mitigation`` row into memory_probe.json."""
+    import gc
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(HERE), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    shape = (66, 41916, 4)  # 44.3 MB f32, one capped trajectory block
+    x_np = np.random.default_rng(0).random(shape).astype(np.float32)
+    flat = x_np.reshape(-1)
+
+    @jax.jit
+    def step(x):
+        return jnp.sum(x * 1.0001)
+
+    @jax.jit
+    def step_flat(x):
+        return jnp.sum(x * 1.0001)
+
+    def consume(xd):
+        return float(step(xd) if xd.ndim == 3 else step_flat(xd))
+
+    def measure(name, fn, rows):
+        gc.collect()
+        consume(jax.device_put(flat))  # sync + compile outside window
+        r0 = rss_gb()
+        for i in range(n_uploads):
+            fn(i)
+        gc.collect()
+        consume(jax.device_put(flat))
+        d = round((rss_gb() - r0) * 1e3 / n_uploads, 1)
+        rows[name] = d
+        print(f"  {name:10s} {d:8.1f} MB retained per {x_np.nbytes/1e6:.1f} MB upload",
+              flush=True)
+
+    def up_delete(i):
+        xd = jax.device_put(x_np)
+        consume(xd)
+        xd.delete()
+
+    def up_chunk(piece_bytes):
+        n = max(1, piece_bytes // 4)
+
+        def go(i):
+            parts = [jax.device_put(flat[s:s + n])
+                     for s in range(0, flat.size, n)]
+            xd = jnp.concatenate(parts)
+            consume(xd)
+
+        return go
+
+    def up_jitarg(i):
+        consume(step_flat(flat))
+
+    rows = {}
+    measure("delete", up_delete, rows)
+    measure("chunk1m", up_chunk(1 << 20), rows)
+    measure("chunk128k", up_chunk(1 << 17), rows)
+    measure("jitarg", up_jitarg, rows)
+
+    path = os.path.join(HERE, "memory_probe.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            data = json.load(fh)
+    data["upload_mitigation"] = {
+        "n_uploads": n_uploads, "block_mb": round(x_np.nbytes / 1e6, 1),
+        "retained_mb_per_upload": rows,
+        "backend": jax.devices()[0].platform,
+    }
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(json.dumps(data["upload_mitigation"]))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dispatch":
         dispatch_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200)
     elif len(sys.argv) > 1 and sys.argv[1] == "release":
         release_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 24)
+    elif len(sys.argv) > 1 and sys.argv[1] == "mitigate":
+        mitigate_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     else:
         main()

@@ -58,6 +58,12 @@ def build_parser():
     p.add_argument("--num-mols", type=_ints)
     p.add_argument("--num-atoms-per-mol", type=_ints)
     p.add_argument("--out", default="rdf.csv")
+    p.add_argument("--frames-per-process", type=int, default=None,
+                   help="cap host RSS for very long streams: process the "
+                        "trajectory in N-frame segments, each in a fresh "
+                        "child process (the tunnel client retains every "
+                        "uploaded byte for the process lifetime; see "
+                        "parallel.segmented)")
 
     p = sub.add_parser("cn", help="coordination numbers")
     common(p)
@@ -203,13 +209,23 @@ def main(argv=None):
     cmd = args.command
 
     if cmd == "rdf":
-        from mdproptools_tpu.structural.rdf_cn import calc_atomic_rdf
+        if args.frames_per_process:
+            from mdproptools_tpu.parallel.segmented import (
+                calc_atomic_rdf_segmented as _rdf_fn,
+            )
 
-        df = calc_atomic_rdf(
+            extra = {"frames_per_process": args.frames_per_process}
+        else:
+            from mdproptools_tpu.structural.rdf_cn import (
+                calc_atomic_rdf as _rdf_fn,
+            )
+
+            extra = {}
+        df = _rdf_fn(
             args.r_cut, args.bin_size, args.num_types, args.mass,
             args.relations, args.dumps, num_mols=args.num_mols,
             num_atoms_per_mol=args.num_atoms_per_mol,
-            path_or_buff=args.out, precision=args.precision,
+            path_or_buff=args.out, precision=args.precision, **extra,
         )
         print(f"wrote {args.out} ({len(df)} bins)")
     elif cmd == "cn":

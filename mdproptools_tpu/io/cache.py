@@ -247,12 +247,18 @@ def iter_cached_blocks(
     columns: Optional[Sequence[str]] = None,
     block_frames: int = 128,
     max_frames: Optional[int] = None,
+    skip_frames: int = 0,
 ) -> Iterator["Trajectory"]:
     """Yield ``Trajectory`` blocks from a cache, reading ONLY the
     requested columns (each column is its own file — the point of the
     columnar layout). Blocks are re-chunked to ``block_frames`` when it
     differs from the cached chunking; output frame order always matches
-    the text parser's."""
+    the text parser's.
+
+    ``skip_frames`` drops the first frames WITHOUT reading them (whole
+    cached blocks are skipped by the frame index; a partial skip starts
+    mid-block) — the restart/segmentation hook (``parallel.segmented``).
+    ``max_frames`` counts frames AFTER the skip."""
     from mdproptools_tpu.io.lammps_dump import (
         Trajectory,
         _block_frames_for,
@@ -306,10 +312,17 @@ def iter_cached_blocks(
         out_ts, out_bounds, spans, n_out = [], [], [], 0
         return traj
 
+    to_skip = int(skip_frames)
     for bi, binfo in enumerate(meta["blocks"]):
         ts_b = meta["timesteps"][bi]
         bounds_b = meta["box_bounds"][bi]
         lo = 0
+        if to_skip:
+            if to_skip >= binfo["frames"]:
+                to_skip -= binfo["frames"]
+                continue
+            lo = to_skip
+            to_skip = 0
         while lo < binfo["frames"]:
             room = block_frames - n_out
             hi = min(binfo["frames"], lo + room)

@@ -288,7 +288,8 @@ def parse_frames_from_text(
 
 def parse_lammps_dumps(
     pattern: str, sort_by_id: bool = True, workers: Optional[int] = None,
-    columns: Optional[Sequence[str]] = None,
+    columns: Optional[Sequence[str]] = None, skip_frames: int = 0,
+    _files: Optional[Sequence[str]] = None,
 ) -> Iterator[Frame]:
     """Lazily yield frames from a dump file or a ``*`` glob pattern of
     dump files (sorted by the wildcard integer), matching the reference's
@@ -297,16 +298,53 @@ def parse_lammps_dumps(
     Multi-file patterns parse files on a bounded thread pool (the C body
     parser and pandas release the GIL), keeping at most ~2x ``workers``
     files in flight so streaming memory stays bounded; yield order is
-    unchanged. ``workers=1`` forces sequential parsing."""
-    files = _sort_files_by_wildcard(pattern, _glob.glob(pattern))
-    if not files:
-        raise FileNotFoundError(f"no dump files match {pattern!r}")
+    unchanged. ``workers=1`` forces sequential parsing.
+
+    ``skip_frames`` drops the first frames cheaply: files wholly inside
+    the skip are counted by a raw byte scan for frame headers (IO only,
+    no tokenizing) and never parsed; the boundary file parses and drops
+    its prefix — the restart/segmentation hook (``parallel.segmented``)."""
+    if _files is not None:
+        files = list(_files)
+    else:
+        files = _sort_files_by_wildcard(pattern, _glob.glob(pattern))
+        if not files:
+            raise FileNotFoundError(f"no dump files match {pattern!r}")
+    to_skip = int(skip_frames)
+    if to_skip:
+        kept = []
+        for i, f in enumerate(files):
+            with open(f, "rb") as fh:
+                n_in_file = fh.read().count(b"ITEM: TIMESTEP")
+            if to_skip >= n_in_file:
+                to_skip -= n_in_file
+                continue
+            kept = files[i:]
+            break
+        files = kept
+        if not files:
+            return
 
     def load(f):
         with open(f, "rb") as fh:  # bytes: skip the UTF-8 decode pass
             text = fh.read()
         return list(parse_frames_from_text(
             text, sort_by_id=sort_by_id, columns_filter=columns))
+
+    if to_skip:
+        # boundary file: parse it alone, drop the skipped prefix, then
+        # continue with the pooled path over the remaining files
+        first_frames = load(files[0])[to_skip:]
+
+        def chain():
+            yield from first_frames
+            if len(files) > 1:
+                yield from parse_lammps_dumps(
+                    "", sort_by_id=sort_by_id, workers=workers,
+                    columns=columns, _files=files[1:])
+
+        yield from chain()
+        return
 
     if workers is None:
         workers = min(8, os.cpu_count() or 1)
@@ -504,6 +542,7 @@ def iter_trajectory_blocks(
     sort_by_id: bool = True,
     max_frames: Optional[int] = None,
     cache="auto",
+    skip_frames: int = 0,
 ) -> Iterator[Trajectory]:
     """Stream a dump pattern as fixed-shape ``Trajectory`` blocks of at
     most ``block_frames`` frames each. Host memory stays O(block x N x C)
@@ -517,7 +556,12 @@ def iter_trajectory_blocks(
     binary blocks read at page-cache speed, skipping text parsing
     entirely); a directory path forces that cache; False always parses
     text. Caches are only ever CREATED explicitly (``io.cache
-    .build_cache`` / ``mdpt cache``), never as a side effect here."""
+    .build_cache`` / ``mdpt cache``), never as a side effect here.
+
+    ``skip_frames`` drops the first frames cheaply (cache: indexed block
+    skip; text: unparsed byte-scan file skip) — the restart/segmentation
+    hook (``parallel.segmented``). ``max_frames`` counts after the
+    skip."""
     if cache and sort_by_id:
         from mdproptools_tpu.io import cache as _cache
 
@@ -529,7 +573,7 @@ def iter_trajectory_blocks(
             if cols_ok:
                 yield from _cache.iter_cached_blocks(
                     meta, columns=columns, block_frames=block_frames,
-                    max_frames=max_frames)
+                    max_frames=max_frames, skip_frames=skip_frames)
                 return
             if cache != "auto" and cache is not True:
                 raise ValueError(
@@ -539,7 +583,8 @@ def iter_trajectory_blocks(
     seen = 0
     eff_block = block_frames
     for fr in parse_lammps_dumps(pattern, sort_by_id=sort_by_id,
-                                 columns=columns):
+                                 columns=columns,
+                                 skip_frames=skip_frames):
         if not frames and seen == 0:
             # apply the block-byte cap once the first frame's (N, C)
             # is known; all consumers handle variable block sizes (the

@@ -43,6 +43,7 @@ from mdproptools_tpu.io.lammps_dump import (
 from mdproptools_tpu.ops import com as com_ops
 from mdproptools_tpu.ops import pairs as pair_ops
 from mdproptools_tpu.ops.precision import resolve_dtype
+from mdproptools_tpu.utilities.device import note_upload
 from mdproptools_tpu.utilities.tracing import stage
 
 CON_CONSTANT = 1.660538921  # g/mol/A^3 -> g/cm^3, as in rdf_cn.py:30
@@ -57,7 +58,8 @@ def _load(filename, columns=("id", "type", "x", "y", "z")):
     return read_trajectory(filename, columns=list(columns))
 
 
-def _open_stream(filename, columns=("id", "type", "x", "y", "z")):
+def _open_stream(filename, columns=("id", "type", "x", "y", "z"),
+                 skip_frames=0, max_frames=None):
     """Open a dump pattern as a bounded-memory block stream. Returns
     (first_block, blocks_fn) where blocks_fn() iterates ALL blocks
     including the first — the first block supplies frame-0 metadata
@@ -75,7 +77,9 @@ def _open_stream(filename, columns=("id", "type", "x", "y", "z")):
 
     it = prefetch_iter(
         iter_trajectory_blocks(filename, columns=list(columns),
-                               block_frames=FRAME_BLOCK),
+                               block_frames=FRAME_BLOCK,
+                               skip_frames=skip_frames,
+                               max_frames=max_frames),
         depth=2,  # next block parses while the device runs this one
     )
     try:
@@ -499,6 +503,8 @@ def _run_stream(run_block, out_shape, blocks, dtype, n_pad_to=1):
             steady = max(steady, pos_b.shape[0])
             pb = jnp.asarray(pos_b, dtype)
             pcb = pb if pc_b is None else jnp.asarray(pc_b, dtype)
+            note_upload(int(pb.nbytes)
+                        + (0 if pc_b is None else int(pcb.nbytes)))
             cur = run_block(pb, pcb, jnp.asarray(len_b, dtype),
                             jnp.asarray(w, dtype))
             if pending is not None:
@@ -991,7 +997,7 @@ def _rdf_mean(
     pos, codes, n_codes, lengths, bin_size, n_bins, r_cut, relation_matrix,
     code_counts_rows, code_counts_cols, exclude_self, with_full, dtype,
     pos_cols=None, codes_cols=None, n_codes_cols=None, spatial_sort="auto",
-    blocks=None, exact_bins="auto",
+    blocks=None, exact_bins="auto", return_sum=False,
 ):
     """Frame-averaged normalized RDF: returns (g_full or None, g_part).
 
@@ -1000,7 +1006,12 @@ def _rdf_mean(
     inform shapes — pass the first block). When None,
     ``pos``/``pos_cols``/``lengths`` are full arrays. See
     ``_make_rdf_mean_stream`` for the policy/runner structure and
-    ``_make_rdf_step`` for the per-frame math."""
+    ``_make_rdf_step`` for the per-frame math.
+
+    ``return_sum``: return the raw (total (nrows, n_bins) float64 SUM of
+    per-frame normalized rows, frame count) instead of the mean — the
+    mergeable partial for the capped-RSS segmented runner
+    (``parallel.segmented``)."""
     stream = _make_rdf_mean_stream(
         pos, codes, n_codes, lengths, bin_size, n_bins, r_cut,
         relation_matrix, code_counts_rows, code_counts_cols, exclude_self,
@@ -1012,6 +1023,9 @@ def _rdf_mean(
         blocks = _array_blocks(pos, lengths, pos_cols)
     for pos_b, pc_b, len_b in blocks:
         stream.fold(pos_b, pc_b, len_b)
+    if return_sum:
+        stream._flush()
+        return stream.total, stream.T
     return stream.result()
 
 
@@ -1078,6 +1092,8 @@ class _RdfMeanStream:
                 plo = (pos64 - ph).astype(np.float32)
                 lh = len64.astype(np.float32)
                 llo = (len64 - lh).astype(np.float32)
+                note_upload(ph.nbytes + plo.nbytes
+                            + np.asarray(perm_b).nbytes)
                 cur = self._run_block(
                     jnp.asarray(ph), jnp.asarray(plo), jnp.asarray(lh),
                     jnp.asarray(llo), jnp.asarray(perm_b))
@@ -1092,6 +1108,9 @@ class _RdfMeanStream:
                     jnp.asarray(w, self.dtype))
             if perm_b is not None:
                 args += (jnp.asarray(perm_b),)
+            note_upload(int(pb.nbytes)
+                        + (0 if pc_b is None else int(pcb.nbytes))
+                        + (0 if perm_b is None else int(perm_b.nbytes)))
             cur = self._run_block(*args)
             self._flush()
             self._pending = ("sum", cur)
@@ -1243,9 +1262,19 @@ def calc_atomic_rdf(
     precision="fast",
     spatial_sort="auto",
     exact_bins="auto",
+    skip_frames=0,
+    max_frames=None,
+    _return_sum=False,
 ):
     """Full and partial atom-atom RDF averaged over all frames matching
     ``filename`` (reference: ``rdf_cn.py:385-530``).
+
+    ``skip_frames``/``max_frames`` select a frame window of the stream
+    (cheap skip: cached blocks seek by index, text files wholly inside
+    the skip are never parsed) — the restart/segmentation hooks used by
+    the capped-RSS runner ``parallel.segmented`` (``_return_sum`` then
+    returns the raw (sum-of-normalized-rows, frame count) partial
+    instead of writing the averaged CSV).
 
     ``spatial_sort``: "auto" (default) re-orders atoms spatially per
     frame on device whenever the box is large enough relative to r_cut
@@ -1267,7 +1296,8 @@ def calc_atomic_rdf(
     O(block x N), any trajectory length); the density consistency check
     uses the first block's volumes."""
     dtype = resolve_dtype(precision)
-    first, blocks = _open_stream(filename)
+    first, blocks = _open_stream(filename, skip_frames=skip_frames,
+                                 max_frames=max_frames)
     codes, n_codes, _ = _atom_codes(first, num_types, num_mols,
                                     num_atoms_per_mol)
     num_bins = int(r_cut / bin_size)
@@ -1283,13 +1313,16 @@ def calc_atomic_rdf(
             report_density(blk.box_lengths)
             yield blk.cols(["x", "y", "z"]), None, blk.box_lengths
 
-    rdf_full, rdf_part = _rdf_mean(
+    out = _rdf_mean(
         first.cols(["x", "y", "z"]), codes, n_codes, lengths, bin_size,
         num_bins, float(r_cut), relation_matrix, code_counts, code_counts,
         exclude_self=True, with_full=True, dtype=dtype,
         spatial_sort=spatial_sort, blocks=pos_blocks(),
-        exact_bins=exact_bins,
+        exact_bins=exact_bins, return_sum=_return_sum,
     )
+    if _return_sum:
+        return out  # (total (1+R, n_bins) float64, frame count)
+    rdf_full, rdf_part = out
     return _save_rdf(_radii(bin_size, num_bins), relation_matrix, path_or_buff,
                      save_mode, rdf_part, rdf_full)
 

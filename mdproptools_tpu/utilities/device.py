@@ -27,10 +27,59 @@ first fetch queues behind the warmup round trip, so the thread is done
 before results exist.
 """
 
+import os
 import threading
 
 _lock = threading.Lock()
 _thread = None
+
+# ---------------------------------------------------------------------------
+# Upload-retention accounting.
+#
+# The tunneled TPU client retains EVERY uploaded byte in host RSS for the
+# life of the process: measured 43-48 MB resident per 44.3 MB uploaded
+# block, released by nothing — not deletion + gc, jax.clear_caches(),
+# explicit .delete(), time, re-uploading the same host buffer, slicing the
+# transfer into 1 MiB or 128 KiB pieces, or routing through jit-arg vs
+# device_put (benchmarks/memory_probe.json "upload_release" and
+# "upload_mitigation"). Host->device bytes are therefore a per-process
+# BUDGET. The streaming device feeds report their uploads here; when the
+# running total crosses the warn threshold (MDPT_UPLOAD_WARN_GB env var,
+# default 16), one warning points the user at the capped segmented runner
+# (parallel.segmented), which bounds the per-process total by construction.
+# ---------------------------------------------------------------------------
+_uploaded_bytes = 0
+_upload_warned = False
+
+
+def note_upload(nbytes: int) -> None:
+    """Account ``nbytes`` of host->device transfer against the process
+    upload budget (no-op warning below the threshold; cheap always)."""
+    global _uploaded_bytes, _upload_warned
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return
+    _uploaded_bytes += int(nbytes)
+    if not _upload_warned:
+        warn_gb = float(os.environ.get("MDPT_UPLOAD_WARN_GB", "16"))
+        if _uploaded_bytes > warn_gb * 1e9:
+            _upload_warned = True
+            from mdproptools_tpu.utilities.tracing import logger
+
+            logger.warning(
+                "%.1f GB uploaded to the TPU this process; the tunnel "
+                "client retains uploaded bytes in host RSS for the "
+                "process lifetime (see benchmarks/memory_probe.json). "
+                "For longer streams run the capped segmented driver "
+                "(mdproptools_tpu.parallel.segmented, or mdpt rdf "
+                "--frames-per-process), or raise MDPT_UPLOAD_WARN_GB "
+                "to silence this.", _uploaded_bytes / 1e9)
+
+
+def uploaded_bytes() -> int:
+    """Total host->device bytes accounted this process."""
+    return _uploaded_bytes
 
 
 def _roundtrip():

@@ -109,7 +109,13 @@ def synth():
                 for ax in range(3):
                     fh.write(f"{lo_b[ax]:.16e} {lo_b[ax] + L2[ax]:.16e}\n")
                 fh.write("ITEM: ATOMS " + " ".join(COLS) + " \n")
-                np.savetxt(fh, out, fmt="%.10g")
+                # %.6g: LAMMPS' own dump float format (compare any
+                # reference dump.nvt.* row) — the tiled sums would
+                # otherwise print up to 10 significant digits, a shape
+                # no real dump has (and one that defeats the columnar
+                # cache's decimal-exact encodings, measured round 5:
+                # 28.8 GB/825 s with %.10g coords falling back to f64)
+                np.savetxt(fh, out, fmt="%.6g")
             print(f"synth: wrote {path} ({time.time() - t0:.0f}s)",
                   flush=True)
     # symlink view: REPLICAS x in pseudo-time

@@ -26,24 +26,30 @@ Layout (one directory per cached pattern)::
                                           losslessly possible, else the
                                           build float dtype
 
-Decimal-exact quantization (format v2): LAMMPS dumps print every value
-with limited decimal precision, so float columns store at HALF the
-float64 bytes while reconstructing BIT-EXACTLY — verified per block at
-build time, with a float64 fallback wherever neither encoding holds:
+Decimal-exact quantization (format v4): LAMMPS dumps print every value
+with limited decimal precision, so float columns store at roughly HALF
+the float64 bytes while reconstructing BIT-EXACTLY — verified per
+block at build time, with a float64 fallback wherever neither encoding
+holds:
 
 - fixed-decimal columns (``%f``-style: coordinates, charges, masses)
-  sit on an exact 10^-p grid -> int32 numerators plus p. Decode is one
-  correctly-rounded f64 division of the exact numerator by the exact
-  10^p, returning the nearest-f64 of the same rational the text parser
-  rounded.
+  sit on an exact 10^-p grid -> int32 numerators plus one p. Decode is
+  one correctly-rounded f64 division of the exact numerator by the
+  exact 10^p, returning the nearest-f64 of the same rational the text
+  parser rounded.
 - significant-digit columns (``%g``-style: velocities, forces,
   unwrapped coords — 6 significant digits, decimal count varies with
-  magnitude) -> f32 plus the digit count s. f32 carries 7.2 decimal
-  digits, so 6-digit decimals embed injectively; decode rounds the f32
-  value back to s significant digits in f64 (vectorized floor-log10 /
-  scale / round), recovering the original f64 exactly. The build
-  verifies the round trip with the SAME expression decode uses, so any
-  edge case (power-of-ten boundaries, subnormals) simply falls back.
+  magnitude) -> int32 mantissa plus PER-VALUE int8 exponent
+  (m * 10^-p). Decode is a power-of-ten table gather + the same
+  correctly-rounded exact division (~5 ns/element). An earlier v3
+  format stored these as f32 + round-back-to-s-digits; bit-exact too,
+  but its ~30 ns/element decode made cached reads slower than v1's
+  plain-f64 memcpy — the mantissa form restores decode to memcpy
+  speed at 5 bytes/value.
+
+The build verifies every block's round trip with the same tables
+decode uses, so any edge case (power-of-ten boundaries, subnormals,
+NaN/inf) simply falls back to float64 storage.
 
 Consumers never import this directly: ``iter_trajectory_blocks(...,
 cache="auto")`` (the default) transparently serves from a valid cache
@@ -65,7 +71,7 @@ from typing import Iterator, List, Optional, Sequence
 import numpy as np
 
 CACHE_DIRNAME = ".mdpt_cache"
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 4  # v4: per-value mantissa/exponent for %g columns
 _MAX_DECIMALS = 9  # 10^9 < 2^31: the densest grid an int32 can carry
 
 
@@ -88,27 +94,60 @@ def _try_quantize(a, p_hint=None):
     return None, None
 
 
-def _sig_round(v, s):
-    """Round every value of float64 ``v`` to ``s`` significant decimal
-    digits (vectorized). Decode and build-time verification share this
-    exact expression, so its edge behavior cancels."""
-    az = np.abs(v)
-    e = np.floor(np.log10(np.where(az > 0, az, 1.0)))
-    scale = np.power(10.0, (s - 1) - e)
-    return np.where(az > 0, np.round(v * scale) / scale, v)
+# exact powers of ten for the mantissa decode: indexed by exponent +
+# _P10_OFF. THE TABLE IS THE DEFINITION of 10^e here — the build-time
+# encoder and its verification both read it, so decode can never
+# disagree with a libm.
+_P10_OFF = 64
+_P10 = np.power(10.0, np.arange(-_P10_OFF, _P10_OFF + 2, dtype=np.float64))
+_LOG10_2 = 0.30102999566398114
 
 
-def _try_sigfig(a, s_hint=None):
-    """(float32 array, s) when ``a`` is a grid of s-significant-digit
-    decimals recoverable from their f32 roundings (verified), else
-    (None, None)."""
-    v32 = np.ascontiguousarray(a, np.float32)
-    v = v32.astype(np.float64)
+def _decade(az):
+    """Vectorized e = max{k : _P10[k] <= az} for positive ``az`` (the
+    decimal decade), from the binary exponent (``np.frexp``) plus two
+    table compares — floor(log10) costs ~150 ns/element (measured; it
+    made v2 cache reads SLOWER than v1's plain-f64 memcpy), this runs
+    at gather speed. Zeros/NaN/inf return an in-range garbage decade;
+    callers' round-trip verification rejects those values."""
+    _, be = np.frexp(az)
+    d = be.astype(np.float64)
+    d -= 1.0
+    d *= _LOG10_2  # az in [2^(be-1), 2^be): within 0.302 below log10(az)
+    np.floor(d, out=d)
+    d = d.astype(np.int64)
+    np.clip(d, 8 - _P10_OFF, _P10_OFF - 8, out=d)  # subnormal/huge guard
+    d += az >= _P10[d + (1 + _P10_OFF)]
+    d -= az < _P10[d + _P10_OFF]
+    return d
+
+
+def _try_mantissa(a, s_hint=None):
+    """((int32 mantissa, int8 exponent) arrays, s) when every value of
+    ``a`` is an s-significant-digit decimal m * 10^-p with |m| < 2^31
+    (verified by bit-exact round trip), else (None, None).
+
+    This is the fixed-decimal idea with a PER-VALUE exponent, covering
+    %g-printed columns (velocities, forces, unwrapped coordinates)
+    whose decimal count varies with magnitude. Decode is one table
+    gather + one correctly-rounded f64 division of exact operands —
+    ~5 ns/element vs ~30 for the v3 round-to-s-digits expression
+    (measured; that decode cost made v3 cached legs slower than v1's
+    plain-f64 reads, defeating the cache's purpose)."""
+    az = np.abs(a)
+    d = _decade(az)
     order = ([s_hint] + [s for s in (6, 7) if s != s_hint]
              if s_hint is not None else (6, 7))
     for s in order:
-        if np.array_equal(_sig_round(v, s), a):
-            return v32, s
+        p = (s - 1) - d  # value-wise decimals so m has s digits
+        np.clip(p, -_P10_OFF, _P10_OFF, out=p)
+        scale = _P10[p + _P10_OFF]
+        m = np.round(a * scale)
+        with np.errstate(over="ignore", invalid="ignore"):
+            if not np.all(np.abs(m) < 2147483648.0):
+                continue
+        if np.array_equal(m / scale, a):
+            return (m.astype(np.int32), p.astype(np.int8)), s
     return None, None
 
 
@@ -184,10 +223,12 @@ def build_cache(
                     out = q
             if out is None:
                 s_hint = int(hint[1:]) if isinstance(hint, str) else None
-                g, s = _try_sigfig(col, s_hint)
-                if g is not None:
-                    p_hints[name] = enc = f"g{s}"
-                    out = g
+                me, s = _try_mantissa(col, s_hint)
+                if me is not None:
+                    p_hints[name] = enc = f"m{s}"
+                    out, exps = me
+                    np.save(os.path.join(cache_dir,
+                                         f"c_{name}.{i}.e.npy"), exps)
             if out is None:
                 out = np.ascontiguousarray(col, dtype)
             encodings[name].append(enc)
@@ -287,23 +328,43 @@ def iter_cached_blocks(
 
     encodings = meta.get("encodings", {})
 
+    scratch_buf = None
+
     def emit():
-        nonlocal out_ts, out_bounds, spans, n_out
+        nonlocal out_ts, out_bounds, spans, n_out, scratch_buf
         n_atoms = meta["blocks"][spans[0][0]]["atoms"]
         data = _block_pool.get((n_out, n_atoms, len(keep)))
+        # decode scratch: column j of the (B, N, C) output is a STRIDED
+        # view, and elementwise decode on strided memory runs ~3x
+        # slower than contiguous (measured 18.3 -> ~6 ms/frame at 42k).
+        # Decode contiguously here, then store into the view once —
+        # the same single strided store the plain-f64 format paid.
+        # The scratch is REUSED across emits: at ~43 MB it exceeds
+        # glibc's 32 MiB M_MMAP_THRESHOLD cap, so a fresh buffer per
+        # block would pay the ~100x first-touch fault cost every block
+        # (~0.5 s/block at 42k — measured as a ~40 s leg regression).
+        if (scratch_buf is None or scratch_buf.shape[1] != n_atoms
+                or scratch_buf.shape[0] < n_out):
+            scratch_buf = np.empty((n_out, n_atoms), np.float64)
+        scratch = scratch_buf
         row = 0
         for bi, lo, hi in spans:
             for j, name in enumerate(keep):
                 arr = np.load(
                     os.path.join(cache_dir, f"c_{name}.{bi}.npy"),
                     mmap_mode="r")
-                seg = data[row:row + (hi - lo), :, j]
-                seg[...] = arr[lo:hi]  # int32/f32 -> f64 cast is exact
+                tmp = scratch[:hi - lo]
+                tmp[...] = arr[lo:hi]  # int32 -> f64 cast is exact
                 enc = (encodings.get(name) or [None] * (bi + 1))[bi]
-                if isinstance(enc, str):  # f"g{s}": s-significant-digit
-                    seg[...] = _sig_round(seg, int(enc[1:]))
+                if isinstance(enc, str):  # f"m{s}": per-value exponent
+                    exps = np.load(
+                        os.path.join(cache_dir, f"c_{name}.{bi}.e.npy"),
+                        mmap_mode="r")
+                    np.divide(tmp, _P10[exps[lo:hi].astype(np.int64)
+                                       + _P10_OFF], out=tmp)
                 elif enc:  # int p: exact numerator / exact 10^p
-                    np.divide(seg, np.float64(10.0) ** enc, out=seg)
+                    np.divide(tmp, np.float64(10.0) ** enc, out=tmp)
+                data[row:row + (hi - lo), :, j] = tmp
             row += hi - lo
         traj = Trajectory(
             np.asarray(out_ts, np.int64),

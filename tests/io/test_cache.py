@@ -139,22 +139,24 @@ def test_decimal_quantization_engages_and_halves_bytes(data_copy):
     cache_dir = build_cache(data_copy,
                             columns=["id", "type", "x", "q", "vx"])
     meta = load_meta(data_copy)
-    assert meta is not None and meta["version"] == 2
+    assert meta is not None and meta["version"] == 4
     enc = meta["encodings"]
     # integer-valued columns quantize at p=0; fixed-decimal columns at
     # their printed precision; %g-printed columns (velocities) store
-    # f32 + significant-digit count
+    # int32 mantissa + per-value int8 exponent
     assert all(p == 0 for p in enc["id"])
     assert all(p == 0 for p in enc["type"])
     assert all(p is not None and p > 0 for p in enc["x"])
     assert all(p is not None for p in enc["q"])
-    assert all(isinstance(p, str) and p.startswith("g")
+    assert all(isinstance(p, str) and p.startswith("m")
                for p in enc["vx"])
     for name in ("id", "x", "q"):
         arr = np.load(os.path.join(cache_dir, f"c_{name}.0.npy"))
         assert arr.dtype == np.int32
     arr = np.load(os.path.join(cache_dir, "c_vx.0.npy"))
-    assert arr.dtype == np.float32
+    assert arr.dtype == np.int32
+    exps = np.load(os.path.join(cache_dir, "c_vx.0.e.npy"))
+    assert exps.dtype == np.int8
 
 
 def test_quantization_falls_back_for_irrational_columns(tmp_path):

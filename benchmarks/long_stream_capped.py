@@ -17,10 +17,11 @@ that at frames_per_process's worth by construction.
 Workload: the north-star 41,916-atom tiled frames (synthesized by
 ``north_star_bench.synth`` if absent), symlink-replicated in pseudo-time
 to N_FRAMES files; production entry point, fast precision (exact-bins
-auto), 400 bins, r_cut 20.
+auto), 200 bins, r_cut 10 — the retention under test scales with
+frames x atoms (position uploads), not with the cutoff, and the
+lighter pair workload keeps the 30k-frame drive to ~1 h.
 
-Writes benchmarks/long_stream_capped.json. Expect ~1.7-2 h wall on the
-v5e behind the tunnel at ~190 ms/frame.
+Writes benchmarks/long_stream_capped.json.
 """
 
 import json
@@ -87,8 +88,12 @@ def main():
 
     stats = []
     t0 = time.time()
+    # r_cut 10 (200 bins): the quantity under test is the client's
+    # per-upload RSS retention, which depends on FRAMES x ATOMS only
+    # (position splits + spatial perms), not on the cutoff; the smaller
+    # pair workload keeps the 30k-frame drive to ~1 h instead of ~2.5
     df = calc_atomic_rdf_segmented(
-        20.0, 0.05, 9, MASS, RELATIONS, pattern,
+        10.0, 0.05, 9, MASS, RELATIONS, pattern,
         path_or_buff=os.path.join(HERE, "long_stream_rdf.csv"),
         frames_per_process=FRAMES_PER_PROCESS, stats_out=stats,
     )
@@ -96,8 +101,8 @@ def main():
     g_tail = float(df["g_full(r)"].iloc[-1])
     uploads_total = sum(s["uploaded_gb"] for s in stats)
     row = {
-        "workload": (f"{N_FRAMES} frames x 41,916 atoms, 400 bins, "
-                     "r_cut 20, production calc_atomic_rdf_segmented "
+        "workload": (f"{N_FRAMES} frames x 41,916 atoms, 200 bins, "
+                     "r_cut 10, production calc_atomic_rdf_segmented "
                      "(fast precision, exact-bins auto), text-parsed"),
         "n_frames": N_FRAMES,
         "frames_per_process": FRAMES_PER_PROCESS,

@@ -91,7 +91,12 @@ def _run_child(args: dict, platform, timeout):
             "PYTHONPATH", "")
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=timeout, env=env)
-        if proc.returncode != 0:
+        if proc.returncode != 0 and not os.path.exists(outfile):
+            # a written outfile is authoritative: the tunneled TPU
+            # client is known to abort at interpreter TEARDOWN (an
+            # uncaught C++ exception if its warmup round trip is still
+            # in flight — utilities/device.py), which must not discard
+            # a segment's completed, persisted result
             raise RuntimeError(
                 f"segment child failed (skip={args['skip_frames']}):\n"
                 f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
@@ -265,6 +270,13 @@ def _child_main(argv):
         )
     except ValueError as exc:
         if "no frames" in str(exc):
+            # the entry point started the device warmup round trip
+            # before discovering the stream is empty; a process that
+            # exits with it still in flight aborts inside the tunnel
+            # client at teardown (utilities/device.py) — join it first
+            from mdproptools_tpu.utilities.device import warm_device
+
+            warm_device(wait=True)
             return _finish(np.zeros((0,)), 0)
         raise
     return _finish(total, T)

@@ -330,6 +330,7 @@ def _make_rdf(first_blk, num_types, mass, num_mols, num_atoms_per_mol,
         rdf["bin_size"], num_bins, float(rdf["r_cut"]), relation_matrix,
         code_counts, code_counts, exclude_self=True, with_full=True,
         dtype=dtype, spatial_sort=rdf.get("spatial_sort", "auto"),
+        exact_bins=rdf.get("exact_bins", "auto"),
     )
     return stream, {"num_bins": num_bins,
                     "relation_matrix": relation_matrix}

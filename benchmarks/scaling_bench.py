@@ -139,7 +139,13 @@ def main_strict():
     codes1 = traj.col("type")[0].astype(np.int64)
     pos1 = traj.cols(["x", "y", "z"])[0]
     L1 = traj.box_lengths[0]
-    reps = (2, 2, 1)
+    # (1, 1, 1): the 42k strict attempt CRASHES the TPU worker ("TPU
+    # worker process crashed or restarted", kernel fault, measured
+    # 2026-08-21 — see the strict_row note) — the emulated-f64 XLA pair
+    # program at that scale takes the worker down, so the measured
+    # strict point is the bundled 10.5k box and 42k is recorded as the
+    # crash it is
+    reps = (1, 1, 1)
     shifts = [(i, j, k) for i in range(reps[0])
               for j in range(reps[1]) for k in range(reps[2])]
     pos = np.concatenate([pos1 + np.array(s) * L1 for s in shifts])
